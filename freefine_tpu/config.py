@@ -1,0 +1,170 @@
+"""Static configuration dataclasses for the FreeFine-TPU framework.
+
+The reference scatters configuration across hard-coded paths, argparse and
+OmegaConf YAML (SURVEY.md §5).  Here everything is a frozen dataclass so that
+configs are hashable and can be used as static arguments to `jax.jit`.
+
+Defaults reproduce Stable Diffusion v1.5 (the reference backbone,
+/root/reference/src/demo/model.py:94) in bfloat16 for the TPU MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    """SD UNet2DCondition architecture description.
+
+    The default values are the SD-1.5 architecture the reference pipeline
+    loads via diffusers `StableDiffusionPipeline.from_pretrained`.
+    """
+
+    sample_size: int = 64
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    # attention head *count* per block resolution; SD-1.5 uses 8 heads at
+    # every attention layer (head_dim = channels / 8).
+    num_attention_heads: int = 8
+    cross_attention_dim: int = 768
+    # Which down blocks carry cross/self attention (SD-1.5: first three).
+    down_block_has_attn: Tuple[bool, ...] = (True, True, True, False)
+    up_block_has_attn: Tuple[bool, ...] = (False, True, True, True)
+    norm_num_groups: int = 32
+    freq_shift: int = 0
+    flip_sin_to_cos: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def num_transformer_blocks(self) -> int:
+        """Total spatial-transformer blocks == the reference's 16 for SD-1.5.
+
+        The reference indexes them 0..15 via `cur_att_layer // 2`
+        (src/utils/attention.py:1051) in registration order down, mid, up.
+        """
+        n = 0
+        for has, _ in zip(self.down_block_has_attn, self.block_out_channels):
+            if has:
+                n += self.layers_per_block
+        n += 1  # mid block
+        for has, _ in zip(self.up_block_has_attn, self.block_out_channels):
+            if has:
+                n += self.layers_per_block + 1
+        return n
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    """AutoencoderKL (SD VAE) architecture description."""
+
+    in_channels: int = 3
+    out_channels: int = 3
+    latent_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    norm_num_groups: int = 32
+    scaling_factor: float = 0.18215  # reference model.py:268 (`* 0.18215`)
+    dtype: jnp.dtype = jnp.bfloat16
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    """CLIP ViT-L/14 text encoder (SD-1.5 conditioning model)."""
+
+    vocab_size: int = 49408
+    hidden_size: int = 768
+    intermediate_size: int = 3072
+    num_layers: int = 12
+    num_heads: int = 12
+    max_length: int = 77
+    dtype: jnp.dtype = jnp.bfloat16
+
+
+@dataclasses.dataclass(frozen=True)
+class SchedulerConfig:
+    """DDIM schedule hyper-parameters.
+
+    Matches diffusers `DDIMScheduler.from_config` of the SD-1.5 scheduler
+    (reference model.py:95): scaled_linear betas 0.00085..0.012 over 1000
+    train steps, leading timestep spacing with steps_offset=1, and
+    set_alpha_to_one=False (final_alpha_cumprod = alphas_cumprod[0]).
+    """
+
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    steps_offset: int = 1
+    set_alpha_to_one: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level pipeline configuration."""
+
+    unet: UNetConfig = dataclasses.field(default_factory=UNetConfig)
+    vae: VAEConfig = dataclasses.field(default_factory=VAEConfig)
+    text: CLIPTextConfig = dataclasses.field(default_factory=CLIPTextConfig)
+    scheduler: SchedulerConfig = dataclasses.field(default_factory=SchedulerConfig)
+    height: int = 512
+    width: int = 512
+
+    @property
+    def latent_height(self) -> int:
+        return self.height // 8
+
+    @property
+    def latent_width(self) -> int:
+        return self.width // 8
+
+
+def tiny_pipeline_config(height: int = 64, width: int = 64) -> PipelineConfig:
+    """A miniature config for CPU unit tests (seconds, not minutes).
+
+    Preserves the structural invariants that matter for edit-state routing:
+    four block resolutions, the same attn-bearing block pattern, and 16
+    transformer blocks — so layer indices 10..15 land in the same up blocks
+    as SD-1.5.
+    """
+    unet = UNetConfig(
+        sample_size=height // 8,
+        block_out_channels=(32, 64, 128, 128),
+        num_attention_heads=2,
+        cross_attention_dim=32,
+        norm_num_groups=8,
+        dtype=jnp.float32,
+    )
+    vae = VAEConfig(
+        block_out_channels=(16, 16, 32, 32),
+        layers_per_block=1,
+        norm_num_groups=8,
+        dtype=jnp.float32,
+    )
+    text = CLIPTextConfig(
+        vocab_size=1000,
+        hidden_size=32,
+        intermediate_size=64,
+        num_layers=2,
+        num_heads=2,
+        dtype=jnp.float32,
+    )
+    return PipelineConfig(unet=unet, vae=vae, text=text, height=height, width=width)
+
+
+def sd15_pipeline_config(
+    height: int = 512, width: int = 512, dtype: Optional[jnp.dtype] = None
+) -> PipelineConfig:
+    """The production SD-1.5 configuration (bf16 by default)."""
+    dtype = dtype or jnp.bfloat16
+    return PipelineConfig(
+        unet=UNetConfig(dtype=dtype),
+        vae=VAEConfig(dtype=dtype),
+        text=CLIPTextConfig(dtype=dtype),
+        height=height,
+        width=width,
+    )
