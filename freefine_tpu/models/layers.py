@@ -1,0 +1,266 @@
+"""Building blocks for the SD UNet / VAE in Flax (NHWC, TPU-native).
+
+Architecture matches Stable Diffusion v1.5's UNet2DConditionModel /
+AutoencoderKL as loaded by the reference pipeline
+(/root/reference/src/demo/model.py:94), re-expressed in channels-last layout
+for TPU convolutions.  Attention layers route through the edit dispatch in
+`freefine_tpu.ops.attention` instead of being monkey-patched at runtime
+(reference `register_attention_control`, src/utils/attention.py:342-452).
+
+Numerics: parameters and matmuls run in the configured dtype (bf16 in
+production); GroupNorm/LayerNorm statistics and attention softmax accumulate
+in float32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from freefine_tpu.edit import EditConfig, EditState
+from freefine_tpu.ops import attention as attn_ops
+
+
+def timestep_embedding(
+    timesteps: jnp.ndarray,
+    dim: int,
+    flip_sin_to_cos: bool = True,
+    freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding (diffusers `get_timestep_embedding`).
+
+    Always float32: the embedding must not quantise the timestep.
+    """
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin], -1) if flip_sin_to_cos else jnp.concatenate([sin, cos], -1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm computed in float32, output cast back to the input dtype."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        out = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return out.astype(dtype)
+
+
+class TimestepEmbed(nn.Module):
+    """time_proj + time_embedding MLP (Timesteps -> Linear/SiLU/Linear)."""
+
+    base_dim: int            # sinusoid dim (= block_out_channels[0])
+    embed_dim: int           # output dim (= 4 * base_dim)
+    flip_sin_to_cos: bool = True
+    freq_shift: float = 0.0
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, timesteps):
+        emb = timestep_embedding(
+            timesteps, self.base_dim, self.flip_sin_to_cos, self.freq_shift
+        ).astype(self.dtype)
+        emb = nn.Dense(self.embed_dim, dtype=self.dtype, name="linear_1")(emb)
+        emb = nn.silu(emb)
+        emb = nn.Dense(self.embed_dim, dtype=self.dtype, name="linear_2")(emb)
+        return emb
+
+
+class ResnetBlock(nn.Module):
+    """SD ResnetBlock2D: GN/SiLU/Conv x2 with timestep injection."""
+
+    out_channels: int
+    norm_num_groups: int = 32
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, temb=None):
+        h = GroupNorm32(self.norm_num_groups, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv1")(h)
+        if temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+                nn.silu(temb)
+            )
+            h = h + t[:, None, None, :]
+        h = GroupNorm32(self.norm_num_groups, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv2")(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(
+                self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
+            )(x)
+        return x + h
+
+
+class Downsample(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.out_channels, (3, 3), strides=(2, 2), dtype=self.dtype, name="conv"
+        )(x)
+
+
+class Upsample(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv")(x)
+
+
+class GEGLU(nn.Module):
+    out_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.out_dim * 2, dtype=self.dtype, name="proj")(x)
+        value, gate = jnp.split(h, 2, axis=-1)
+        return value * nn.gelu(gate)
+
+
+class FeedForward(nn.Module):
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        h = GEGLU(dim * 4, dtype=self.dtype, name="net_0")(x)
+        return nn.Dense(dim, dtype=self.dtype, name="net_2")(h)
+
+
+class LayerNorm32(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        out = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
+        return out.astype(dtype)
+
+
+class EditAttention(nn.Module):
+    """One attention layer with q/k/v/out projections and edit dispatch.
+
+    `is_cross=False` routes through `edit_self_attention`, else
+    `edit_cross_attention`.  The `block_index`/`place` statics implement the
+    reference's execution-order layer gating (attention.py:1051).
+    """
+
+    heads: int
+    is_cross: bool
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        context=None,
+        *,
+        edit_cfg: EditConfig,
+        edit_state: Optional[EditState],
+        block_index: int,
+        place: str,
+        context_extra=None,
+    ):
+        dim = x.shape[-1]
+        ctx = x if context is None else context
+        q = nn.Dense(dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        to_k = nn.Dense(dim, use_bias=False, dtype=self.dtype, name="to_k")
+        to_v = nn.Dense(dim, use_bias=False, dtype=self.dtype, name="to_v")
+        k, v = to_k(ctx), to_v(ctx)
+
+        if self.is_cross:
+            k_extra = v_extra = None
+            if context_extra is not None:
+                k_extra, v_extra = to_k(context_extra), to_v(context_extra)
+            h = attn_ops.edit_cross_attention(
+                q, k, v, self.heads, edit_cfg, edit_state,
+                k_extra=k_extra, v_extra=v_extra,
+            )
+        else:
+            h = attn_ops.edit_self_attention(
+                q, k, v, self.heads, edit_cfg, edit_state, block_index, place
+            )
+        return nn.Dense(dim, dtype=self.dtype, name="to_out_0")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """Self-attn + cross-attn + GEGLU FF with pre-LayerNorms."""
+
+    heads: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self, x, context, *, edit_cfg, edit_state, block_index, place,
+        context_extra=None,
+    ):
+        h = LayerNorm32(name="norm1")(x)
+        x = x + EditAttention(self.heads, is_cross=False, dtype=self.dtype, name="attn1")(
+            h, edit_cfg=edit_cfg, edit_state=edit_state,
+            block_index=block_index, place=place,
+        )
+        h = LayerNorm32(name="norm2")(x)
+        x = x + EditAttention(self.heads, is_cross=True, dtype=self.dtype, name="attn2")(
+            h, context, edit_cfg=edit_cfg, edit_state=edit_state,
+            block_index=block_index, place=place, context_extra=context_extra,
+        )
+        h = LayerNorm32(name="norm3")(x)
+        x = x + FeedForward(dtype=self.dtype, name="ff")(h)
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """Transformer2DModel: GN -> 1x1 conv in -> block -> 1x1 conv out + skip."""
+
+    heads: int
+    norm_num_groups: int = 32
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self, x, context, *, edit_cfg, edit_state, block_index, place,
+        context_extra=None,
+    ):
+        b, hh, ww, c = x.shape
+        residual = x
+        h = GroupNorm32(self.norm_num_groups, epsilon=1e-6, name="norm")(x)
+        h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(h)
+        h = h.reshape(b, hh * ww, c)
+        h = BasicTransformerBlock(
+            self.heads, dtype=self.dtype, name="transformer_blocks_0"
+        )(
+            h, context, edit_cfg=edit_cfg, edit_state=edit_state,
+            block_index=block_index, place=place, context_extra=context_extra,
+        )
+        h = h.reshape(b, hh, ww, c)
+        h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(h)
+        return h + residual

@@ -1,0 +1,180 @@
+"""SD UNet2DCondition in Flax with first-class editing hooks.
+
+Structure matches diffusers' SD-1.5 UNet (the backbone the reference loads,
+/root/reference/src/demo/model.py:94) in NHWC layout.  Differences from a
+plain port, by design:
+
+  * Editing behaviour is an input — ``(EditConfig, EditState)`` — not
+    monkey-patched forwards (reference `register_attention_control`,
+    src/utils/attention.py:342-452).  Each (mode, method) pair compiles to
+    its own fused XLA graph.
+  * Transformer blocks carry a static ``block_index`` in execution order
+    (down 0-5, mid 6, up 7-15 for SD-1.5), the functional equivalent of the
+    reference's runtime `cur_att_layer // 2` counter (attention.py:1051).
+  * The mid-block feature replacement (``h_sample``) and up-block feature
+    collection of the reference's `override_forward`
+    (src/utils/attention.py:11-225) are supported as explicit arguments /
+    outputs (used for DIFT features and energy guidance).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from freefine_tpu.config import UNetConfig
+from freefine_tpu.edit import EditConfig, EditState, none_config
+from freefine_tpu.models.layers import (
+    Downsample,
+    GroupNorm32,
+    ResnetBlock,
+    SpatialTransformer,
+    TimestepEmbed,
+    Upsample,
+)
+
+
+class UNet2DCondition(nn.Module):
+    """SD-1.5 conditional UNet with edit-state routing.
+
+    Call signature:
+      sample  [B, H, W, C_in]  latent batch (streams layout per EditConfig)
+      timestep scalar or [B]
+      encoder_hidden_states [B, 77, D_text]
+      context_extra optional [P, 77, D_text] compose region prompts
+      h_sample optional mid-block replacement [2 or B, h, w, 1280]
+      return_features: also return the mid + up block hidden states
+    """
+
+    config: UNetConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,
+        timestep: jnp.ndarray,
+        encoder_hidden_states: jnp.ndarray,
+        *,
+        edit_cfg: EditConfig = none_config(),
+        edit_state: Optional[EditState] = None,
+        context_extra: Optional[jnp.ndarray] = None,
+        h_sample: Optional[jnp.ndarray] = None,
+        return_features: bool = False,
+    ):
+        cfg = self.config
+        dtype = cfg.dtype
+        sample = sample.astype(dtype)
+        context = encoder_hidden_states.astype(dtype)
+        if context_extra is not None:
+            context_extra = context_extra.astype(dtype)
+
+        timestep = jnp.asarray(timestep)
+        if timestep.ndim == 0:
+            timestep = jnp.broadcast_to(timestep, (sample.shape[0],))
+        temb = TimestepEmbed(
+            base_dim=cfg.block_out_channels[0],
+            embed_dim=cfg.block_out_channels[0] * 4,
+            flip_sin_to_cos=cfg.flip_sin_to_cos,
+            freq_shift=cfg.freq_shift,
+            dtype=dtype,
+            name="time_embedding",
+        )(timestep)
+
+        heads = cfg.num_attention_heads
+        num_blocks = len(cfg.block_out_channels)
+        attn_index = 0  # transformer-block counter in execution order
+
+        def make_transformer(name):
+            return SpatialTransformer(
+                heads=heads,
+                norm_num_groups=cfg.norm_num_groups,
+                dtype=dtype,
+                name=name,
+            )
+
+        h = nn.Conv(cfg.block_out_channels[0], (3, 3), dtype=dtype, name="conv_in")(
+            sample
+        )
+
+        # ----- down -----
+        skips = [h]
+        for i, out_ch in enumerate(cfg.block_out_channels):
+            has_attn = cfg.down_block_has_attn[i]
+            for j in range(cfg.layers_per_block):
+                h = ResnetBlock(
+                    out_ch, cfg.norm_num_groups, dtype,
+                    name=f"down_blocks_{i}_resnets_{j}",
+                )(h, temb)
+                if has_attn:
+                    h = make_transformer(f"down_blocks_{i}_attentions_{j}")(
+                        h, context,
+                        edit_cfg=edit_cfg, edit_state=edit_state,
+                        block_index=attn_index, place="down",
+                        context_extra=context_extra,
+                    )
+                    attn_index += 1
+                skips.append(h)
+            if i < num_blocks - 1:
+                h = Downsample(out_ch, dtype, name=f"down_blocks_{i}_downsamplers_0")(h)
+                skips.append(h)
+
+        # ----- mid -----
+        mid_ch = cfg.block_out_channels[-1]
+        h = ResnetBlock(mid_ch, cfg.norm_num_groups, dtype, name="mid_block_resnets_0")(
+            h, temb
+        )
+        h = make_transformer("mid_block_attentions_0")(
+            h, context,
+            edit_cfg=edit_cfg, edit_state=edit_state,
+            block_index=attn_index, place="mid", context_extra=context_extra,
+        )
+        attn_index += 1
+        h = ResnetBlock(mid_ch, cfg.norm_num_groups, dtype, name="mid_block_resnets_1")(
+            h, temb
+        )
+
+        # Mid-feature replacement: edit streams only for the 4-stream layout
+        # (reference src/utils/attention.py:159-165).
+        if h_sample is not None:
+            if sample.shape[0] == 4 and h_sample.shape[0] == 2:
+                h = jnp.stack([h_sample[0], h[1], h_sample[1], h[3]])
+            else:
+                h = h_sample.astype(h.dtype)
+
+        features = [h]
+
+        # ----- up -----
+        rev_ch = list(reversed(cfg.block_out_channels))
+        rev_attn = list(reversed(cfg.up_block_has_attn))
+        for i in range(num_blocks):
+            out_ch = rev_ch[i]
+            has_attn = rev_attn[i]
+            for j in range(cfg.layers_per_block + 1):
+                skip = skips.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = ResnetBlock(
+                    out_ch, cfg.norm_num_groups, dtype,
+                    name=f"up_blocks_{i}_resnets_{j}",
+                )(h, temb)
+                if has_attn:
+                    h = make_transformer(f"up_blocks_{i}_attentions_{j}")(
+                        h, context,
+                        edit_cfg=edit_cfg, edit_state=edit_state,
+                        block_index=attn_index, place="up",
+                        context_extra=context_extra,
+                    )
+                    attn_index += 1
+            if i < num_blocks - 1:
+                h = Upsample(out_ch, dtype, name=f"up_blocks_{i}_upsamplers_0")(h)
+            features.append(h)
+
+        # ----- out -----
+        h = GroupNorm32(cfg.norm_num_groups, name="conv_norm_out")(h)
+        h = nn.silu(h)
+        h = nn.Conv(cfg.out_channels, (3, 3), dtype=dtype, name="conv_out")(h)
+
+        if return_features:
+            return h, features
+        return h

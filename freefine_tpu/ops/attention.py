@@ -1,0 +1,319 @@
+"""Edit-aware attention: the functional core of FreeFine-TPU.
+
+Reimplements the semantics of the reference `Attention_Modulator`
+(/root/reference/src/utils/attention.py:640-1445) as pure functions over
+``[B, S, H*D]`` query/key/value projections plus an (EditConfig, EditState)
+pair.  Design differences from the reference (all TPU-motivated):
+
+  * No dense ``seq x seq`` masks.  Every reference mask is separable into a
+    per-key vector (which keys may be attended) and a per-query vector (which
+    queries take the modulated output).  Key masks become rank-1 additive
+    biases on the attention logits; query masks become output blends.  This
+    removes the O(S^2) mask materialisation of
+    `prepare_various_attention_mask` (attention.py:862-889).
+  * Stream routing (K/V replacement / append) is a static gather on the batch
+    axis — free at trace time, no data movement beyond what XLA schedules.
+  * Softmax always accumulates in float32 (the bf16-on-MXU analogue of the
+    reference's `upcast_attention`/`upcast_softmax` flags,
+    attention.py:776-806).
+  * One fused graph per (mode, method): all per-step variability
+    (context_guidance, share_gate, masks) is traced data, so a full denoise
+    loop compiles into a single `lax.scan`.
+
+All functions take q, k, v of shape ``[B, S, E]`` with ``E = heads * head_dim``
+and return ``[B, Sq, E]``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from freefine_tpu.edit import EditConfig, EditState
+
+# Finite stand-in for -inf: keeps softmax well-defined when an entire row is
+# masked (torch's `finfo.min` fill degrades to uniform attention there, which
+# this matches; true -inf would produce NaNs).
+NEG_INF = -1e9
+
+
+def split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
+    """[B, S, H*D] -> [B, H, S, D]."""
+    b, s, e = x.shape
+    return x.reshape(b, s, heads, e // heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, S, D] -> [B, S, H*D]."""
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+def key_bias(key_mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-key 0/1 mask -> additive bias broadcastable over (heads, queries).
+
+    [B, Sk] -> [B, 1, 1, Sk];  0 -> NEG_INF, 1 -> 0  (reference
+    `post_process_attn_mask`, attention.py:856-860).
+    """
+    return (key_mask[:, None, None, :] - 1.0) * -NEG_INF
+
+
+def sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Scaled dot-product attention with f32 logits/softmax.
+
+    q: [B, Sq, E], k/v: [B, Sk, E], bias broadcastable to [B, H, Sq, Sk].
+    """
+    dtype = q.dtype
+    qh = split_heads(q, heads).astype(jnp.float32)
+    kh = split_heads(k, heads).astype(jnp.float32)
+    vh = split_heads(v, heads)
+    scale = 1.0 / jnp.sqrt(jnp.float32(qh.shape[-1]))
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * scale
+    if bias is not None:
+        logits = logits + bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+    return merge_heads(out).astype(dtype)
+
+
+def _ref_stream_gather(x: jnp.ndarray) -> jnp.ndarray:
+    """K/V replacement for the 4-stream edit layout: [a,b,c,d] -> [b,b,d,d].
+
+    Reference `cross_manner_attention_modulate` (attention.py:1033-1035):
+    every stream attends to the *reference* stream of its CFG half.
+    """
+    return x[jnp.array([1, 1, 3, 3])]
+
+
+def _edit_rows(per_token: jnp.ndarray) -> jnp.ndarray:
+    """[S] mask -> [4, S]: applied to edit streams (0, 2), ones for refs."""
+    ones = jnp.ones_like(per_token)
+    return jnp.stack([per_token, ones, per_token, ones])
+
+
+# ---------------------------------------------------------------------------
+# Self-attention dispatch
+# ---------------------------------------------------------------------------
+
+
+def edit_self_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    cfg: EditConfig,
+    state: Optional[EditState],
+    block_index: int,
+    place: str,
+) -> jnp.ndarray:
+    """Dispatch self-attention according to the editing mode.
+
+    Mirrors the dispatcher in `register_attention_control*`
+    (attention.py:342-452, 226-339, 454-564).
+    """
+    if cfg.mode == "none" or cfg.method is None or state is None:
+        return sdpa(q, k, v, heads)
+
+    if cfg.uses_share_attention:
+        if place not in cfg.style_align_scope or cfg.mode == "compose":
+            return sdpa(q, k, v, heads)
+        return _style_align_attention(q, k, v, heads, cfg, state)
+
+    # tca / mmsa
+    if place not in cfg.tca_scope or not cfg.block_gated(block_index):
+        return sdpa(q, k, v, heads)
+
+    if cfg.mode == "edit":
+        return _tca_edit(q, k, v, heads, cfg, state)
+    if cfg.mode == "bggen":
+        return _tca_bggen(q, k, v, heads, cfg, state)
+    if cfg.mode == "compose":
+        return _tca_compose(q, k, v, heads, cfg, state)
+    raise ValueError(cfg.mode)
+
+
+def _blend_with_self(
+    modulated: jnp.ndarray,
+    self_h: jnp.ndarray,
+    cfg: EditConfig,
+    state: EditState,
+) -> jnp.ndarray:
+    """Apply the tca context_guidance blend / mmsa share gate.
+
+    tca  : out = cg * modulated + (1 - cg) * self      (attention.py:1083)
+    mmsa : out = modulated  (share_gate handles mmsa_es's hard cut-off,
+           model.py:589-591, as a traced 0/1 scalar).
+    """
+    cg = state.context_guidance if cfg.method == "tca" else jnp.float32(1.0)
+    mixed = cg * modulated.astype(jnp.float32) + (1.0 - cg) * self_h.astype(
+        jnp.float32
+    )
+    g = state.share_gate
+    out = g * mixed + (1.0 - g) * self_h.astype(jnp.float32)
+    return out.astype(self_h.dtype)
+
+
+def _tca_edit(q, k, v, heads, cfg, state):
+    """Temporal-contextual attention, edit mode (attention.py:1043-1091).
+
+    Streams [u_e, u_r, c_e, c_r]; edit streams attend to the reference
+    stream's K/V twice (FG-restricted and BG-restricted) and composite by the
+    target mask; reference streams fall through to vanilla self-attention.
+    """
+    seq = q.shape[1]
+    fg_ref = state.fg_ref[seq]          # [S] source-object key mask
+    tgt = state.fg_retain[seq]          # [S] target-region query mask
+
+    kc = _ref_stream_gather(k)
+    vc = _ref_stream_gather(v)
+    attn_fg = sdpa(q, kc, vc, heads, key_bias(_edit_rows(fg_ref)))
+    attn_bg = sdpa(q, kc, vc, heads, key_bias(_edit_rows(1.0 - fg_ref)))
+
+    if cfg.method == "tca":
+        tgt = (tgt > 0).astype(jnp.float32)  # binarised (attention.py:1071)
+    tq = _edit_rows(tgt)[:, :, None]         # [4, S, 1] query composite mask
+    modulated = tq * attn_fg + (1.0 - tq) * attn_bg
+
+    self_h = sdpa(q, k, v, heads)
+    return _blend_with_self(modulated, self_h, cfg, state)
+
+
+def _tca_bggen(q, k, v, heads, cfg, state):
+    """Background-generation TCA (attention.py:1284-1324).
+
+    Only the BG-masked reference attention is used — the removed object's
+    keys are excluded so the hole is filled from background context.
+    """
+    seq = q.shape[1]
+    obj = state.fg_retain[seq]  # object / inpainting-region mask
+
+    kc = _ref_stream_gather(k)
+    vc = _ref_stream_gather(v)
+    attn_bg = sdpa(q, kc, vc, heads, key_bias(_edit_rows(1.0 - obj)))
+
+    self_h = sdpa(q, k, v, heads)
+    return _blend_with_self(attn_bg, self_h, cfg, state)
+
+
+def _tca_compose(q, k, v, heads, cfg, state):
+    """Composition TCA (attention.py:1092-1140).
+
+    Streams [e, r_1..r_N, c_e].  For each source i the edit queries attend to
+    source i's K/V restricted to src_mask_i, weighted by the (soft) target
+    region mask tgt_mask_i, and summed.  Reference streams stay vanilla.
+    """
+    n = cfg.num_sources
+    b, seq, _ = q.shape
+    assert b == n + 2, (b, n)
+    src = state.src_masks[seq]          # [N, S] key masks
+    tgt = state.tgt_masks[seq][:n]      # [N, S] query weights (bg row unused)
+
+    self_h = sdpa(q, k, v, heads)
+
+    # Batch the N per-source attentions: queries are the two edit streams
+    # tiled across sources -> [2N, S, E] against K/V of streams 1..N.
+    q_edit = jnp.stack([q[0], q[b - 1]])                   # [2, S, E]
+    qn = jnp.repeat(q_edit, n, axis=0)                     # [2N, S, E]
+    kn = jnp.tile(k[1 : n + 1], (2, 1, 1))                 # [2N, S, E]
+    vn = jnp.tile(v[1 : n + 1], (2, 1, 1))
+    bias = key_bias(jnp.tile(src, (2, 1)))                 # [2N, 1, 1, S]
+    per_src = sdpa(qn, kn, vn, heads, bias)                # [2N, S, E]
+    w = jnp.tile(tgt, (2, 1))[:, :, None]                  # [2N, S, 1]
+    summed = (per_src.astype(jnp.float32) * w).reshape(2, n, seq, -1).sum(1)
+
+    hu_e = _blend_with_self(summed[0], self_h[0], cfg, state)
+    hc_e = _blend_with_self(summed[1], self_h[b - 1], cfg, state)
+    return jnp.concatenate(
+        [hu_e[None], self_h[1 : b - 1], hc_e[None]], axis=0
+    )
+
+
+def _style_align_attention(q, k, v, heads, cfg, state):
+    """StyleAligned shared attention, ssa/sdsa (attention.py:1142-1238).
+
+    K/V become [own; ref] (seq -> 2*seq) where ref is the reference stream of
+    each CFG half.  sdsa additionally restricts the appended reference keys:
+      * edit mode : to the source-object FG (prepare_sdsa_mask, :940-951);
+      * bggen mode: blocks own keys and the object's reference keys entirely
+        (prepare_sdsa_mask_for_bggen, :926-939).
+    """
+    seq = q.shape[1]
+    k_cat = jnp.concatenate([k, _ref_stream_gather(k)], axis=1)
+    v_cat = jnp.concatenate([v, _ref_stream_gather(v)], axis=1)
+
+    bias = None
+    if cfg.method == "sdsa":
+        ones = jnp.ones((seq,), jnp.float32)
+        if cfg.mode == "bggen":
+            obj = state.fg_retain[seq]
+            allowed = 1.0 - jnp.concatenate([ones, obj])   # ref-BG keys only
+        else:
+            fg = state.fg_ref[seq]
+            allowed = jnp.concatenate([ones, fg])          # own + ref-FG keys
+        bias = key_bias(_edit_rows(allowed))
+
+    return sdpa(q, k_cat, v_cat, heads, bias)
+
+
+# ---------------------------------------------------------------------------
+# Cross-attention dispatch (local CFG)
+# ---------------------------------------------------------------------------
+
+
+def edit_cross_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    cfg: EditConfig,
+    state: Optional[EditState],
+    k_extra: Optional[jnp.ndarray] = None,
+    v_extra: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Dispatch text cross-attention.
+
+    edit / bggen (reference modulate_local_cross_attn{,_bg},
+    attention.py:1326-1393): run attention on all 4 streams, then recombine:
+      out = [u_e, u_r, local * c_e + (1 - local) * u_e, u_r]
+    — the conditional edit stream is localised to the edit region and the
+    conditional reference stream is *replaced* by the unconditional one.
+
+    compose (modulate_local_cross_attn_compose, :1394-1432): the uncond
+    streams attend to their own ("") text; the conditional edit stream is a
+    sum over regions of tgt_mask_i * attn(q_ce, text_i) using the separate
+    region-prompt K/V passed as k_extra/v_extra [P, 77, E].
+    """
+    if cfg.mode == "none" or not cfg.local_cfg or state is None:
+        return sdpa(q, k, v, heads)
+
+    if cfg.mode == "compose":
+        n = cfg.num_sources
+        p = cfg.prompt_length
+        b, seq, _ = q.shape
+        assert b == n + 2 and k_extra is not None and p >= 1
+        # uncond streams [e, r_1..r_N] with their own uncond text K/V
+        hu = sdpa(q[: b - 1], k[: b - 1], v[: b - 1], heads)
+        # cond edit stream: per-region prompts
+        tgt = state.tgt_masks[seq][:p]                     # [P, S]
+        qe = jnp.repeat(q[b - 1 : b], p, axis=0)           # [P, S, E]
+        per_prompt = sdpa(qe, k_extra, v_extra, heads)     # [P, S, E]
+        hc = (per_prompt.astype(jnp.float32) * tgt[:, :, None]).sum(0)
+        return jnp.concatenate([hu, hc[None].astype(q.dtype)], axis=0)
+
+    # edit / bggen: 4 streams
+    seq = q.shape[1]
+    local = state.local_region[seq][:, None]               # [S, 1]
+    h = sdpa(q, k, v, heads)
+    u_e, u_r, c_e = h[0], h[1], h[2]
+    mod_c_e = local * c_e.astype(jnp.float32) + (1.0 - local) * u_e.astype(
+        jnp.float32
+    )
+    return jnp.stack([u_e, u_r, mod_c_e.astype(h.dtype), u_r])
