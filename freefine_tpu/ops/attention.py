@@ -26,6 +26,7 @@ and return ``[B, Sq, E]``.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -37,6 +38,22 @@ from freefine_tpu.edit import EditConfig, EditState
 # masked (torch's `finfo.min` fill degrades to uniform attention there, which
 # this matches; true -inf would produce NaNs).
 NEG_INF = -1e9
+
+# Flash-kernel routing: 'auto' uses Pallas on TPU for long sequences and the
+# einsum path elsewhere; '1' forces Pallas (interpret mode off-TPU, used by
+# the golden tests); '0' forces einsum.
+FLASH_MODE = os.environ.get("FREEFINE_FLASH", "auto")
+FLASH_MIN_SEQ = 256
+
+
+def _use_flash(*seqs: int) -> bool:
+    if FLASH_MODE == "0":
+        return False
+    if FLASH_MODE == "1":
+        return True
+    return jax.default_backend() == "tpu" and all(
+        s >= FLASH_MIN_SEQ and s % 128 == 0 for s in seqs
+    )
 
 
 def split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
@@ -84,6 +101,42 @@ def sdpa(
     return merge_heads(out).astype(dtype)
 
 
+def masked_sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    key_rows: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Attention with an optional per-key [B, Sk] 0/1 mask.
+
+    Routes to the Pallas flash kernel on TPU (O(S) memory, fused bias),
+    einsum elsewhere — both numerically equivalent (golden-tested).
+    """
+    if _use_flash(q.shape[1], k.shape[1]):
+        from freefine_tpu.ops.flash_attention import flash_sdpa
+
+        return flash_sdpa(q, k, v, key_rows, heads=heads)
+    bias = None if key_rows is None else key_bias(key_rows)
+    return sdpa(q, k, v, heads, bias)
+
+
+def _tca_fused(
+    q, k_self, v_self, k_mod, v_mod, fg_rows, tq_rows, ecg, heads
+) -> Optional[jnp.ndarray]:
+    """Fused TCA path: ecg*(tq*attn_fg + (1-tq)*attn_bg) + (1-ecg)*self.
+
+    Returns None when the flash kernel is not applicable (then callers use
+    the einsum composite)."""
+    if not _use_flash(q.shape[1]):
+        return None
+    from freefine_tpu.ops.flash_attention import tca_flash
+
+    return tca_flash(
+        q, k_self, v_self, k_mod, v_mod, fg_rows, tq_rows, ecg, heads=heads
+    )
+
+
 def _ref_stream_gather(x: jnp.ndarray) -> jnp.ndarray:
     """K/V replacement for the 4-stream edit layout: [a,b,c,d] -> [b,b,d,d].
 
@@ -120,16 +173,16 @@ def edit_self_attention(
     (attention.py:342-452, 226-339, 454-564).
     """
     if cfg.mode == "none" or cfg.method is None or state is None:
-        return sdpa(q, k, v, heads)
+        return masked_sdpa(q, k, v, heads)
 
     if cfg.uses_share_attention:
         if place not in cfg.style_align_scope or cfg.mode == "compose":
-            return sdpa(q, k, v, heads)
+            return masked_sdpa(q, k, v, heads)
         return _style_align_attention(q, k, v, heads, cfg, state)
 
     # tca / mmsa
     if place not in cfg.tca_scope or not cfg.block_gated(block_index):
-        return sdpa(q, k, v, heads)
+        return masked_sdpa(q, k, v, heads)
 
     if cfg.mode == "edit":
         return _tca_edit(q, k, v, heads, cfg, state)
@@ -152,13 +205,20 @@ def _blend_with_self(
     mmsa : out = modulated  (share_gate handles mmsa_es's hard cut-off,
            model.py:589-591, as a traced 0/1 scalar).
     """
-    cg = state.context_guidance if cfg.method == "tca" else jnp.float32(1.0)
-    mixed = cg * modulated.astype(jnp.float32) + (1.0 - cg) * self_h.astype(
+    ecg = _effective_cg(cfg, state)
+    out = ecg * modulated.astype(jnp.float32) + (1.0 - ecg) * self_h.astype(
         jnp.float32
     )
-    g = state.share_gate
-    out = g * mixed + (1.0 - g) * self_h.astype(jnp.float32)
     return out.astype(self_h.dtype)
+
+
+def _effective_cg(cfg: EditConfig, state: EditState) -> jnp.ndarray:
+    """Collapse the tca context_guidance blend and the mmsa_es share gate
+    into one coefficient on the modulated output:
+      out = ecg * modulated + (1 - ecg) * self
+    with ecg = share_gate * context_guidance (tca) or share_gate (mmsa)."""
+    cg = state.context_guidance if cfg.method == "tca" else jnp.float32(1.0)
+    return state.share_gate * cg
 
 
 def _tca_edit(q, k, v, heads, cfg, state):
@@ -174,11 +234,18 @@ def _tca_edit(q, k, v, heads, cfg, state):
 
     kc = _ref_stream_gather(k)
     vc = _ref_stream_gather(v)
-    attn_fg = sdpa(q, kc, vc, heads, key_bias(_edit_rows(fg_ref)))
-    attn_bg = sdpa(q, kc, vc, heads, key_bias(_edit_rows(1.0 - fg_ref)))
-
     if cfg.method == "tca":
         tgt = (tgt > 0).astype(jnp.float32)  # binarised (attention.py:1071)
+
+    fused = _tca_fused(
+        q, k, v, kc, vc, _edit_rows(fg_ref), _edit_rows(tgt),
+        _effective_cg(cfg, state), heads,
+    )
+    if fused is not None:
+        return fused
+
+    attn_fg = sdpa(q, kc, vc, heads, key_bias(_edit_rows(fg_ref)))
+    attn_bg = sdpa(q, kc, vc, heads, key_bias(_edit_rows(1.0 - fg_ref)))
     tq = _edit_rows(tgt)[:, :, None]         # [4, S, 1] query composite mask
     modulated = tq * attn_fg + (1.0 - tq) * attn_bg
 
@@ -197,8 +264,16 @@ def _tca_bggen(q, k, v, heads, cfg, state):
 
     kc = _ref_stream_gather(k)
     vc = _ref_stream_gather(v)
-    attn_bg = sdpa(q, kc, vc, heads, key_bias(_edit_rows(1.0 - obj)))
+    # Fused route: with fg-keys = 1-obj and tq = 1, the kernel's modulated
+    # output reduces to the BG-masked attention.
+    fused = _tca_fused(
+        q, k, v, kc, vc, _edit_rows(1.0 - obj),
+        jnp.ones((4, seq), jnp.float32), _effective_cg(cfg, state), heads,
+    )
+    if fused is not None:
+        return fused
 
+    attn_bg = sdpa(q, kc, vc, heads, key_bias(_edit_rows(1.0 - obj)))
     self_h = sdpa(q, k, v, heads)
     return _blend_with_self(attn_bg, self_h, cfg, state)
 
@@ -216,7 +291,7 @@ def _tca_compose(q, k, v, heads, cfg, state):
     src = state.src_masks[seq]          # [N, S] key masks
     tgt = state.tgt_masks[seq][:n]      # [N, S] query weights (bg row unused)
 
-    self_h = sdpa(q, k, v, heads)
+    self_h = masked_sdpa(q, k, v, heads)
 
     # Batch the N per-source attentions: queries are the two edit streams
     # tiled across sources -> [2N, S, E] against K/V of streams 1..N.
@@ -224,8 +299,7 @@ def _tca_compose(q, k, v, heads, cfg, state):
     qn = jnp.repeat(q_edit, n, axis=0)                     # [2N, S, E]
     kn = jnp.tile(k[1 : n + 1], (2, 1, 1))                 # [2N, S, E]
     vn = jnp.tile(v[1 : n + 1], (2, 1, 1))
-    bias = key_bias(jnp.tile(src, (2, 1)))                 # [2N, 1, 1, S]
-    per_src = sdpa(qn, kn, vn, heads, bias)                # [2N, S, E]
+    per_src = masked_sdpa(qn, kn, vn, heads, jnp.tile(src, (2, 1)))
     w = jnp.tile(tgt, (2, 1))[:, :, None]                  # [2N, S, 1]
     summed = (per_src.astype(jnp.float32) * w).reshape(2, n, seq, -1).sum(1)
 
@@ -249,7 +323,7 @@ def _style_align_attention(q, k, v, heads, cfg, state):
     k_cat = jnp.concatenate([k, _ref_stream_gather(k)], axis=1)
     v_cat = jnp.concatenate([v, _ref_stream_gather(v)], axis=1)
 
-    bias = None
+    rows = None
     if cfg.method == "sdsa":
         ones = jnp.ones((seq,), jnp.float32)
         if cfg.mode == "bggen":
@@ -258,9 +332,9 @@ def _style_align_attention(q, k, v, heads, cfg, state):
         else:
             fg = state.fg_ref[seq]
             allowed = jnp.concatenate([ones, fg])          # own + ref-FG keys
-        bias = key_bias(_edit_rows(allowed))
+        rows = _edit_rows(allowed)
 
-    return sdpa(q, k_cat, v_cat, heads, bias)
+    return masked_sdpa(q, k_cat, v_cat, heads, rows)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,275 @@
+"""Pallas TPU flash attention with fused editing hooks.
+
+The reference bounds attention memory with xformers + attention slicing
+(evaluation/FreeFine/freefine_batch_infer_2d.py:156-157) and materialises
+O(S^2) additive masks per layer (src/utils/attention.py:862-889).  Here both
+problems are solved in-kernel:
+
+  * `flash_sdpa`    — streaming softmax attention, O(S) memory, with an
+    optional per-key 0/1 mask turned into an additive bias inside the
+    kernel.  Covers vanilla attention, ssa/sdsa (KV pre-concatenated to
+    2S), compose per-source attention, and cross-attention.
+  * `tca_flash`     — the fused Temporal-Contextual Attention step
+    (attention.py:1043-1091): THREE streaming attentions in one pass over
+    the KV stream (self over own K/V; FG-masked and BG-masked over the
+    modulated K/V), composited per query by the target mask and blended by
+    context_guidance — one kernel instead of three SDPA calls + composite.
+
+Layout: q/k/v are [BH, S, D] (batch*heads flattened); masks are per-batch
+[B, S] with BH = B * heads.  All logits/softmax accumulate in float32;
+inputs may be bf16.  Key masking uses a finite -1e9 bias, matching the
+reference's finfo.min convention (fully-masked rows degrade to uniform
+attention rather than NaN).
+
+Block sizes default to 512x512 tiles; the last (head) dimension is padded
+to the 128-lane TPU tile by Mosaic (SD-1.5 head_dim is 40/80/160).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+_M_INIT = -1e30
+
+
+def _pick_block(s: int, target: int = 512) -> int:
+    b = min(s, target)
+    while s % b:
+        b //= 2
+    return max(b, 1)
+
+
+# ---------------------------------------------------------------------------
+# Generic masked flash attention
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_s, l_s, acc_s, *, scale, use_mask):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        m_s[:] = jnp.full_like(m_s, _M_INIT)
+        l_s[:] = jnp.zeros_like(l_s)
+        acc_s[:] = jnp.zeros_like(acc_s)
+
+    q = q_ref[0].astype(jnp.float32)            # [BQ, D]
+    k = k_ref[0].astype(jnp.float32)            # [BK, D]
+    v = v_ref[0].astype(jnp.float32)            # [BK, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                    # [BQ, BK]
+    if use_mask:
+        s = s + (mask_ref[0] - 1.0) * -NEG_INF   # [1, BK] broadcast over BQ
+
+    m_prev = m_s[:, 0]
+    m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
+    corr = jnp.exp(m_prev - m_cur)
+    p = jnp.exp(s - m_cur[:, None])
+    l_s[:, 0] = l_s[:, 0] * corr + jnp.sum(p, axis=1)
+    acc_s[:] = acc_s[:] * corr[:, None] + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_s[:, 0] = m_cur
+
+    @pl.when(ki == nk - 1)
+    def _():
+        o_ref[0] = (acc_s[:] / jnp.maximum(l_s[:, 0], 1e-30)[:, None]).astype(
+            o_ref.dtype
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "block_q", "block_k"))
+def flash_sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: Optional[jnp.ndarray] = None,
+    *,
+    heads: int,
+    block_q: int = 512,
+    block_k: int = 512,
+) -> jnp.ndarray:
+    """Streaming attention.  q [B, Sq, H*D]; k/v [B, Sk, H*D];
+    key_mask [B, Sk] in {0,1} (0 = key masked out) or None.
+    Returns [B, Sq, H*D]."""
+    b, sq, e = q.shape
+    sk = k.shape[1]
+    d = e // heads
+    bq = _pick_block(sq, block_q)
+    bk = _pick_block(sk, block_k)
+
+    def split(x, s):
+        return x.reshape(b, s, heads, d).transpose(0, 2, 1, 3).reshape(b * heads, s, d)
+
+    qh, kh, vh = split(q, sq), split(k, sk), split(v, sk)
+    mask = (
+        jnp.ones((b, sk), jnp.float32) if key_mask is None
+        else key_mask.astype(jnp.float32)
+    )
+    scale = 1.0 / (d ** 0.5)
+
+    grid = (b * heads, sq // bq, sk // bk)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=scale, use_mask=key_mask is not None
+        ),
+        interpret=jax.default_backend() != "tpu",
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda h, qi, ki: (h, qi, 0)),
+            pl.BlockSpec((1, bk, d), lambda h, qi, ki: (h, ki, 0)),
+            pl.BlockSpec((1, bk, d), lambda h, qi, ki: (h, ki, 0)),
+            pl.BlockSpec((1, bk), lambda h, qi, ki, _hh=heads: (h // _hh, ki)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda h, qi, ki: (h, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * heads, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+    )(qh, kh, vh, mask)
+    return out.reshape(b, heads, sq, d).transpose(0, 2, 1, 3).reshape(b, sq, e)
+
+
+# ---------------------------------------------------------------------------
+# Fused TCA kernel: self + FG-ref + BG-ref attention in one KV sweep
+# ---------------------------------------------------------------------------
+
+
+def _tca_kernel(
+    q_ref, ks_ref, vs_ref, km_ref, vm_ref, fg_ref, tq_ref, cg_ref,
+    o_ref,
+    ms_s, ls_s, accs_s, mf_s, lf_s, accf_s, mb_s, lb_s, accb_s,
+    *, scale,
+):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        for m in (ms_s, mf_s, mb_s):
+            m[:] = jnp.full_like(m, _M_INIT)
+        for l in (ls_s, lf_s, lb_s):
+            l[:] = jnp.zeros_like(l)
+        for a in (accs_s, accf_s, accb_s):
+            a[:] = jnp.zeros_like(a)
+
+    q = q_ref[0].astype(jnp.float32)
+    fg = fg_ref[0]                                # [1, BK] 0/1 key mask
+
+    def update(s, m_s, l_s, acc_s, v):
+        m_prev = m_s[:, 0]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
+        corr = jnp.exp(m_prev - m_cur)
+        p = jnp.exp(s - m_cur[:, None])
+        l_s[:, 0] = l_s[:, 0] * corr + jnp.sum(p, axis=1)
+        acc_s[:] = acc_s[:] * corr[:, None] + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m_s[:, 0] = m_cur
+
+    # self attention over own K/V
+    ks = ks_ref[0].astype(jnp.float32)
+    vs = vs_ref[0].astype(jnp.float32)
+    s_self = jax.lax.dot_general(
+        q, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    update(s_self, ms_s, ls_s, accs_s, vs)
+
+    # FG / BG masked attention over modulated (reference-stream) K/V —
+    # ONE logits matmul, two biased accumulators.
+    km = km_ref[0].astype(jnp.float32)
+    vm = vm_ref[0].astype(jnp.float32)
+    s_mod = jax.lax.dot_general(
+        q, km, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    update(s_mod + (fg - 1.0) * -NEG_INF, mf_s, lf_s, accf_s, vm)
+    update(s_mod + fg * NEG_INF, mb_s, lb_s, accb_s, vm)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        out_self = accs_s[:] / jnp.maximum(ls_s[:, 0], 1e-30)[:, None]
+        out_fg = accf_s[:] / jnp.maximum(lf_s[:, 0], 1e-30)[:, None]
+        out_bg = accb_s[:] / jnp.maximum(lb_s[:, 0], 1e-30)[:, None]
+        tq = tq_ref[0][0][:, None]                # [BQ, 1] query composite
+        cg = cg_ref[0]
+        modulated = tq * out_fg + (1.0 - tq) * out_bg
+        o_ref[0] = (cg * modulated + (1.0 - cg) * out_self).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "block_q", "block_k"))
+def tca_flash(
+    q: jnp.ndarray,
+    k_self: jnp.ndarray,
+    v_self: jnp.ndarray,
+    k_mod: jnp.ndarray,
+    v_mod: jnp.ndarray,
+    fg_key_mask: jnp.ndarray,   # [B, S] keys allowed in the FG pass
+    tq_mask: jnp.ndarray,       # [B, S] per-query composite weight
+    context_guidance: jnp.ndarray,  # scalar blend (1.0 for pure mmsa)
+    *,
+    heads: int,
+    block_q: int = 512,
+    block_k: int = 512,
+) -> jnp.ndarray:
+    """Fused TCA: cg * (tq*attn_fg + (1-tq)*attn_bg) + (1-cg) * attn_self.
+
+    attn_self uses (k_self, v_self); attn_fg/attn_bg use (k_mod, v_mod)
+    restricted to fg / 1-fg keys.  All shapes [B, S, H*D]; returns same.
+    """
+    b, s, e = q.shape
+    d = e // heads
+    bq = _pick_block(s, block_q)
+    bk = _pick_block(s, block_k)
+
+    def split(x):
+        return x.reshape(b, s, heads, d).transpose(0, 2, 1, 3).reshape(b * heads, s, d)
+
+    qh = split(q)
+    ksh, vsh = split(k_self), split(v_self)
+    kmh, vmh = split(k_mod), split(v_mod)
+    fg = fg_key_mask.astype(jnp.float32)
+    tq = tq_mask.astype(jnp.float32)[:, None, :]      # [B, 1, S]
+    cg = jnp.broadcast_to(
+        jnp.asarray(context_guidance, jnp.float32), (1, 1)
+    )
+    scale = 1.0 / (d ** 0.5)
+
+    grid = (b * heads, s // bq, s // bk)
+    hh = heads
+    out = pl.pallas_call(
+        functools.partial(_tca_kernel, scale=scale),
+        interpret=jax.default_backend() != "tpu",
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda h, qi, ki: (h, qi, 0)),
+            pl.BlockSpec((1, bk, d), lambda h, qi, ki: (h, ki, 0)),
+            pl.BlockSpec((1, bk, d), lambda h, qi, ki: (h, ki, 0)),
+            pl.BlockSpec((1, bk, d), lambda h, qi, ki: (h, ki, 0)),
+            pl.BlockSpec((1, bk, d), lambda h, qi, ki: (h, ki, 0)),
+            pl.BlockSpec((1, bk), lambda h, qi, ki: (h // hh, ki)),
+            pl.BlockSpec((1, 1, bq), lambda h, qi, ki: (h // hh, 0, qi)),
+            pl.BlockSpec((1, 1), lambda h, qi, ki: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda h, qi, ki: (h, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * heads, s, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32), pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32), pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32), pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+    )(qh, ksh, vsh, kmh, vmh, fg, tq, cg)
+    return out.reshape(b, heads, s, d).transpose(0, 2, 1, 3).reshape(b, s, e)

@@ -1,0 +1,125 @@
+"""Golden tests: Pallas flash kernels vs the einsum reference path.
+
+Run in interpret mode on CPU (the kernels auto-select interpret off-TPU);
+the same code compiles with Mosaic on the real chip.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from freefine_tpu.edit import EditConfig, EditState
+from freefine_tpu.ops import attention as A
+from freefine_tpu.ops.flash_attention import flash_sdpa, tca_flash
+
+HEADS = 2
+SEQ = 256
+DIM = 16
+
+
+@pytest.fixture
+def qkv(rng_np):
+    q = rng_np.normal(size=(4, SEQ, DIM)).astype(np.float32)
+    k = rng_np.normal(size=(4, SEQ, DIM)).astype(np.float32)
+    v = rng_np.normal(size=(4, SEQ, DIM)).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+def test_flash_sdpa_unmasked(qkv):
+    q, k, v = qkv
+    got = flash_sdpa(q, k, v, heads=HEADS, block_q=128, block_k=128)
+    want = A.sdpa(q, k, v, HEADS)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_sdpa_key_mask(qkv, rng_np):
+    q, k, v = qkv
+    rows = jnp.asarray((rng_np.random((4, SEQ)) > 0.5).astype(np.float32))
+    got = flash_sdpa(q, k, v, rows, heads=HEADS, block_q=128, block_k=128)
+    want = A.sdpa(q, k, v, HEADS, A.key_bias(rows))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_sdpa_cross_shaped(qkv, rng_np):
+    """Sq != Sk (share-attention doubles the KV length)."""
+    q, k, v = qkv
+    idx = jnp.array([1, 1, 3, 3])
+    k2 = jnp.concatenate([k, k[idx]], axis=1)
+    v2 = jnp.concatenate([v, v[idx]], axis=1)
+    got = flash_sdpa(q, k2, v2, heads=HEADS, block_q=128, block_k=128)
+    want = A.sdpa(q, k2, v2, HEADS)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_sdpa_fully_masked_rows(qkv):
+    """All-zero key mask degrades to uniform attention (finfo.min
+    convention), identically in both paths."""
+    q, k, v = qkv
+    rows = jnp.zeros((4, SEQ), jnp.float32)
+    got = flash_sdpa(q, k, v, rows, heads=HEADS, block_q=128, block_k=128)
+    want = A.sdpa(q, k, v, HEADS, A.key_bias(rows))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_flash_sdpa_bf16(qkv):
+    q, k, v = (x.astype(jnp.bfloat16) for x in qkv)
+    got = flash_sdpa(q, k, v, heads=HEADS, block_q=128, block_k=128)
+    want = A.sdpa(q, k, v, HEADS)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=3e-2
+    )
+
+
+def _einsum_tca(q, k, v, fg_ref, tgt, cg):
+    kc, vc = k[jnp.array([1, 1, 3, 3])], v[jnp.array([1, 1, 3, 3])]
+    attn_fg = A.sdpa(q, kc, vc, HEADS, A.key_bias(A._edit_rows(fg_ref)))
+    attn_bg = A.sdpa(q, kc, vc, HEADS, A.key_bias(A._edit_rows(1.0 - fg_ref)))
+    tq = A._edit_rows(tgt)[:, :, None]
+    modulated = tq * attn_fg + (1.0 - tq) * attn_bg
+    self_h = A.sdpa(q, k, v, HEADS)
+    return cg * modulated + (1.0 - cg) * self_h
+
+
+def test_tca_flash_matches_einsum_composite(qkv, rng_np):
+    q, k, v = qkv
+    fg = jnp.asarray((rng_np.random(SEQ) > 0.5).astype(np.float32))
+    tgt = jnp.asarray((rng_np.random(SEQ) > 0.4).astype(np.float32))
+    cg = 0.7
+    kc, vc = k[jnp.array([1, 1, 3, 3])], v[jnp.array([1, 1, 3, 3])]
+    got = tca_flash(
+        q, k, v, kc, vc, A._edit_rows(fg), A._edit_rows(tgt),
+        jnp.float32(cg), heads=HEADS, block_q=128, block_k=128,
+    )
+    want = _einsum_tca(q, k, v, fg, tgt, cg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_dispatch_flash_forced_matches_einsum(qkv, rng_np, monkeypatch):
+    """Force FLASH_MODE=1: the full dispatch (edit TCA) equals the einsum path."""
+    q, k, v = qkv
+    fg = jnp.asarray((rng_np.random(SEQ) > 0.5).astype(np.float32))
+    tgt = jnp.asarray(rng_np.random(SEQ).astype(np.float32))
+    cfg = EditConfig(mode="edit", method="tca")
+    state = EditState(
+        fg_ref={SEQ: fg}, fg_retain={SEQ: tgt}, local_region={SEQ: tgt},
+        context_guidance=jnp.float32(0.6),
+    )
+    want = A.edit_self_attention(q, k, v, HEADS, cfg, state, 12, "up")
+    monkeypatch.setattr(A, "FLASH_MODE", "1")
+    got = A.edit_self_attention(q, k, v, HEADS, cfg, state, 12, "up")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_dispatch_flash_bggen_matches(qkv, rng_np, monkeypatch):
+    q, k, v = qkv
+    obj = jnp.asarray((rng_np.random(SEQ) > 0.6).astype(np.float32))
+    cfg = EditConfig(mode="bggen", method="tca")
+    state = EditState(
+        fg_ref={SEQ: obj}, fg_retain={SEQ: obj}, local_region={SEQ: obj},
+        context_guidance=jnp.float32(0.8),
+    )
+    want = A.edit_self_attention(q, k, v, HEADS, cfg, state, 12, "up")
+    monkeypatch.setattr(A, "FLASH_MODE", "1")
+    got = A.edit_self_attention(q, k, v, HEADS, cfg, state, 12, "up")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
