@@ -1,0 +1,165 @@
+"""GeoBench dataset: loader, case iteration, resume, and result merging.
+
+Matches the reference's annotation schema and directory layout exactly
+(/root/reference/evaluation/FreeFine/freefine_batch_infer_2d.py:91-137,
+evaluation/README.md):
+
+  data[da_n]['instances'][ins_id][edit_ins] = {
+      'edit_prompt': str, 'edit_param': [9 floats],
+      'ori_img_path': str, 'ori_mask_path': str,
+      'tgt_mask_path': str, 'coarse_input_path': str,
+      'obj_label': str, '4v_caption': str, ...
+  }
+
+Outputs go to `dst/{da_n}/{ins_id}/{edit_ins}.png`; a case whose output file
+already exists is skipped (idempotent resume, freefine_batch_infer_2d.py:
+108-112), and the final results JSON mirrors the input nesting with an
+added 'gen_img_path' per case.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+def load_json(path: str):
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def save_json(obj, path: str):
+    os.makedirs(osp.dirname(osp.abspath(path)), exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(obj, f)
+
+
+def read_image(path: str, size: int = 512) -> np.ndarray:
+    """RGB uint8 [size, size, 3], LANCZOS-resized (reference
+    read_and_resize_img / vis_utils resize conventions)."""
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    if img.size != (size, size):
+        img = img.resize((size, size), Image.LANCZOS)
+    return np.asarray(img)
+
+
+def read_mask(path: str, size: int = 512) -> np.ndarray:
+    """uint8 [size, size] mask, NEAREST-resized."""
+    from PIL import Image
+
+    m = Image.open(path).convert("L")
+    if m.size != (size, size):
+        m = m.resize((size, size), Image.NEAREST)
+    return np.asarray(m)
+
+
+class GeoBenchDataset:
+    """Flattened case list with existence-based resume."""
+
+    def __init__(
+        self,
+        annotations: Dict,
+        dst_dir: str,
+        check_exist: bool = True,
+        base_dir: Optional[str] = None,
+    ):
+        self.dst_dir = dst_dir
+        self.base_dir = base_dir
+        self.cases: List[Dict] = []
+        self.existing_results: List[Dict] = []
+        for da_n, da in annotations.items():
+            for ins_id, current_ins in da.get("instances", {}).items():
+                for edit_ins, pack in current_ins.items():
+                    item = {
+                        "da_n": str(da_n),
+                        "ins_id": str(ins_id),
+                        "edit_ins": str(edit_ins),
+                        **pack,
+                    }
+                    expected = self.output_path(da_n, ins_id, edit_ins)
+                    if check_exist and osp.exists(expected):
+                        item["gen_img_path"] = expected
+                        self.existing_results.append(item)
+                    else:
+                        self.cases.append(item)
+
+    @classmethod
+    def from_json(cls, path: str, dst_dir: str, **kw) -> "GeoBenchDataset":
+        return cls(load_json(path), dst_dir, base_dir=osp.dirname(path), **kw)
+
+    def output_path(self, da_n, ins_id, edit_ins) -> str:
+        d = osp.join(self.dst_dir, str(da_n), str(ins_id))
+        os.makedirs(d, exist_ok=True)
+        return osp.join(d, f"{edit_ins}.png")
+
+    def resolve(self, rel_path: str) -> str:
+        """Relative->absolute path fixup (reference metrics/main.py:68-84)."""
+        if osp.isabs(rel_path) or self.base_dir is None:
+            return rel_path
+        return osp.join(self.base_dir, rel_path)
+
+    def __len__(self) -> int:
+        return len(self.cases)
+
+    def shard(self, index: int, count: int) -> List[Dict]:
+        """Deterministic round-robin case sharding — the TPU-native
+        equivalent of torch DistributedSampler (freefine_batch_infer_2d.py:
+        167-173)."""
+        return self.cases[index::count]
+
+    def merge_results(self, result_lists: List[List[Dict]]) -> Dict:
+        """Merge per-process results + pre-existing outputs into the nested
+        results JSON (freefine_batch_infer_2d.py:245-262)."""
+        final = list(self.existing_results)
+        for r in result_lists:
+            final.extend(r)
+        out: Dict = {}
+        for item in final:
+            da_n, ins_id, edit_ins = item["da_n"], item["ins_id"], item["edit_ins"]
+            out.setdefault(da_n, {"instances": {}})
+            out[da_n]["instances"].setdefault(ins_id, {})
+            out[da_n]["instances"][ins_id][edit_ins] = item
+        return out
+
+
+def save_image(img: np.ndarray, path: str):
+    from PIL import Image
+
+    os.makedirs(osp.dirname(osp.abspath(path)), exist_ok=True)
+    Image.fromarray(np.asarray(img).astype(np.uint8)).save(path)
+
+
+DEGREES = {
+    1: ("lightly", "slightly", "gently", "mildly"),
+    2: ("moderately", "markedly", "appreciably"),
+    3: ("heavily", "intensely", "significantly", "strongly"),
+}
+
+
+def difficulty_level(edit_prompt: str) -> int:
+    """1-3 by adverb in the edit prompt — the exact vocabulary of the
+    reference's classify_edit_prompt (metrics/main.py:14-31)."""
+    p = edit_prompt.lower()
+    for level, words in DEGREES.items():
+        if any(w in p for w in words):
+            return level
+    raise ValueError(f"No Level found for {edit_prompt}")
+
+
+def filter_by_level(data: Dict, level: int) -> Dict:
+    """Drop cases whose prompt adverb is not `level`
+    (reference parse_data_level, metrics/main.py:33-43)."""
+    for da in data.values():
+        for ins in da.get("instances", {}).values():
+            for case_id in [
+                c for c, gt in ins.items()
+                if difficulty_level(gt.get("edit_prompt", "")) != level
+            ]:
+                ins.pop(case_id)
+    return data

@@ -1,0 +1,317 @@
+"""Checkpoint conversion: HF/diffusers SD-1.5 safetensors -> Flax param trees.
+
+The reference loads SD-1.5 through diffusers `StableDiffusionPipeline
+.from_pretrained` (/root/reference/src/demo/model.py:94, checkpoint layout
+described in /root/reference/scripts/download_models.sh).  This module maps
+that on-disk layout (unet/ vae/ text_encoder/ subfolders with
+*.safetensors) onto the freefine_tpu Flax modules:
+
+  * torch conv kernels [O, I, kh, kw] -> flax [kh, kw, I, O]
+  * torch linear [O, I]               -> flax [I, O]
+  * norm weight/bias                  -> scale/bias
+  * VAE attention supports both the new (to_q/to_k/to_v/to_out.0) and the
+    legacy (query/key/value/proj_attn) diffusers naming.
+
+Conversion is *tree-driven*: we walk the randomly-initialised Flax tree,
+derive the diffusers key for every leaf, and copy with shape validation —
+so any architecture mismatch fails loudly at load time.
+
+No torch dependency: safetensors' numpy backend reads the files directly.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from safetensors import safe_open
+except ImportError:  # pragma: no cover
+    safe_open = None
+
+
+def _load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
+    """Read all *.safetensors files under `path` into one dict (numpy)."""
+    assert safe_open is not None, "safetensors is required for weight loading"
+    out: Dict[str, np.ndarray] = {}
+    files = sorted(
+        f for f in os.listdir(path) if f.endswith(".safetensors")
+    )
+    if not files:
+        raise FileNotFoundError(f"no .safetensors under {path}")
+    for f in files:
+        with safe_open(os.path.join(path, f), framework="np") as sf:
+            for k in sf.keys():
+                out[k] = sf.get_tensor(k)
+    return out
+
+
+_SEGMENT_FIXES = [
+    ("_resnets", ".resnets"),
+    ("_attentions", ".attentions"),
+    ("_downsamplers", ".downsamplers"),
+    ("_upsamplers", ".upsamplers"),
+    ("transformer_blocks_0", "transformer_blocks.0"),
+    ("net_0", "net.0"),
+    ("net_2", "net.2"),
+    ("to_out_0", "to_out.0"),
+]
+
+
+def _module_to_diffusers(seg: str) -> str:
+    """One flax module-name segment -> dotted diffusers path piece."""
+    for a, b in _SEGMENT_FIXES:
+        seg = seg.replace(a, b)
+    # down_blocks_0 -> down_blocks.0, layers_11 -> layers.11, etc.
+    seg = re.sub(r"_(\d+)$", r".\1", seg)
+    seg = re.sub(r"_(\d+)\.", r".\1.", seg)
+    # names whose trailing digit is part of the diffusers name itself
+    seg = seg.replace("linear.1", "linear_1").replace("linear.2", "linear_2")
+    return seg
+
+
+def _flax_path_to_key(path) -> str:
+    segs = []
+    for p in path:
+        name = p.key if hasattr(p, "key") else str(p)
+        if name in ("params", "GroupNorm_0", "LayerNorm_0"):
+            continue  # wrapper modules share the parent's diffusers name
+        segs.append(_module_to_diffusers(name))
+    return ".".join(segs)
+
+
+_LEAF_MAP = {"kernel": "weight", "scale": "weight", "bias": "bias", "embedding": "weight"}
+
+
+def _fetch(tensors: Dict[str, np.ndarray], key: str, leaf: str, shape, aliases=()):
+    """Fetch + reshape a torch tensor for a flax leaf; raise with context."""
+    tkey = f"{key}.{_LEAF_MAP[leaf]}" if key else _LEAF_MAP[leaf]
+    cand = [tkey] + [f"{a}.{_LEAF_MAP[leaf]}" for a in aliases]
+    for c in cand:
+        if c in tensors:
+            t = np.asarray(tensors[c])
+            if leaf == "kernel":
+                if t.ndim == 4:      # conv OIHW -> HWIO
+                    t = t.transpose(2, 3, 1, 0)
+                elif t.ndim == 2:    # linear OI -> IO
+                    t = t.T
+                elif t.ndim == 1:
+                    pass
+            if t.shape != tuple(shape):
+                # legacy VAE attention stores 1x1 convs for q/k/v
+                if t.ndim == 4 and t.shape[0] == 1 and t.shape[1] == 1:
+                    t = t.reshape(t.shape[2], t.shape[3])
+                if t.shape != tuple(shape):
+                    raise ValueError(
+                        f"shape mismatch for {c}: ckpt {t.shape} vs flax {tuple(shape)}"
+                    )
+            return t
+    raise KeyError(f"missing checkpoint tensor for flax leaf {tkey} (tried {cand})")
+
+
+_VAE_ATTN_ALIASES = {
+    "to_q": "query",
+    "to_k": "key",
+    "to_v": "value",
+    "to_out.0": "proj_attn",
+}
+
+
+def _convert_tree(flax_params, tensors: Dict[str, np.ndarray], prefix: str = "",
+                  key_rewrites=(), dtype=None):
+    """Walk the flax tree, pull matching tensors."""
+    flat = jax.tree_util.tree_flatten_with_path(flax_params)[0]
+    treedef = jax.tree_util.tree_structure(flax_params)
+    leaves = []
+    for path, leaf in flat:
+        *mods, leaf_name = path
+        key = _flax_path_to_key(mods)
+        for pat, rep in key_rewrites:
+            key = re.sub(pat, rep, key)
+        if prefix:
+            key = f"{prefix}.{key}" if key else prefix
+        aliases = []
+        for new, old in _VAE_ATTN_ALIASES.items():
+            if key.endswith(new):
+                aliases.append(key[: -len(new)] + old)
+        leaf_str = leaf_name.key if hasattr(leaf_name, "key") else str(leaf_name)
+        t = _fetch(tensors, key, leaf_str, leaf.shape, aliases)
+        leaves.append(jnp.asarray(t, dtype or leaf.dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+# -- per-model rewrites -------------------------------------------------------
+
+_UNET_REWRITES = ()
+
+_VAE_REWRITES = (
+    (r"^encoder\.mid\.resnets", "encoder.mid_block.resnets"),
+    (r"^encoder\.mid\.attentions", "encoder.mid_block.attentions"),
+    (r"^decoder\.mid\.resnets", "decoder.mid_block.resnets"),
+    (r"^decoder\.mid\.attentions", "decoder.mid_block.attentions"),
+    (r"^encoder\.quant_conv", "quant_conv"),
+    (r"^decoder\.post_quant_conv", "post_quant_conv"),
+    (r"attentions\.0\.norm", "attentions.0.group_norm"),
+)
+
+_TEXT_REWRITES = (
+    (r"^token_embedding", "text_model.embeddings.token_embedding"),
+    (r"^position_embedding", "text_model.embeddings.position_embedding"),
+    (r"^layers\.", "text_model.encoder.layers."),
+    (r"^final_layer_norm", "text_model.final_layer_norm"),
+)
+
+
+def convert_unet(flax_params, tensors, dtype=None):
+    return {"params": _convert_tree(flax_params["params"], tensors,
+                                    key_rewrites=_UNET_REWRITES, dtype=dtype)}
+
+
+def convert_vae(flax_params, tensors, dtype=None):
+    # my VAE modules are named mid_resnets_0 etc -> encoder.mid.resnets.0
+    rewrites = ((r"\.mid\.", ".mid_block."),) + _VAE_REWRITES
+    p = _convert_tree(flax_params["params"], tensors,
+                      key_rewrites=(
+                          (r"\.mid\.resnets", ".mid_block.resnets"),
+                          (r"\.mid\.attentions", ".mid_block.attentions"),
+                          (r"^encoder\.quant_conv$", "quant_conv"),
+                          (r"^decoder\.post_quant_conv$", "post_quant_conv"),
+                          (r"attentions\.0\.norm$", "attentions.0.group_norm"),
+                      ),
+                      dtype=dtype)
+    return {"params": p}
+
+
+def convert_text_encoder(flax_params, tensors, dtype=None):
+    return {"params": _convert_tree(flax_params["params"], tensors,
+                                    key_rewrites=_TEXT_REWRITES, dtype=dtype)}
+
+
+# -- perception / metric encoders ---------------------------------------------
+
+_DINOV2_REWRITES = (
+    # flax DINOv2 module names -> torchhub dinov2 state_dict keys
+    (r"^patch_embed$", "patch_embed.proj"),
+    (r"^blocks\.(\d+)\.attn\.", r"blocks.\1.attn."),
+    (r"\.mlp_fc1$", ".mlp.fc1"),
+    (r"\.mlp_fc2$", ".mlp.fc2"),
+    (r"\.ls1$", ".ls1"),
+    (r"\.ls2$", ".ls2"),
+)
+
+
+def convert_dinov2(flax_params, tensors, dtype=None):
+    """torchhub dinov2 (or DINOv1 ViT) state dict -> flax DINOv2 params.
+
+    Handles: cls_token/pos_embed buffers, LayerScale gamma (filled with
+    ones for DINOv1 checkpoints that lack it), fused qkv.
+    """
+    t = dict(tensors)
+    # bare parameter tensors that are not weight/bias pairs
+    passthrough = {"cls_token": "cls_token", "pos_embed": "pos_embed"}
+    # DINOv1 compat: no layerscale; synthesise ones lazily in _fetch via a
+    # pre-pass that adds gamma tensors when missing.
+    flat = jax.tree_util.tree_flatten_with_path(flax_params["params"])[0]
+    for path, leaf in flat:
+        key = ".".join(
+            p.key if hasattr(p, "key") else str(p) for p in path
+        )
+        if key.endswith("gamma"):
+            tk = key.replace("blocks_", "blocks.").replace(".gamma", ".gamma")
+            tk = re.sub(r"blocks\.(\d+)\.(ls[12])\.gamma", r"blocks.\1.\2.gamma", tk)
+            if tk not in t:
+                t[tk] = np.ones(leaf.shape, np.float32)
+
+    leaves = []
+    treedef = jax.tree_util.tree_structure(flax_params["params"])
+    for path, leaf in flat:
+        *mods, leaf_name = path
+        segs = [p.key if hasattr(p, "key") else str(p) for p in mods]
+        segs = [s for s in segs if s not in ("GroupNorm_0", "LayerNorm_0")]
+        key = ".".join(_module_to_diffusers(s) for s in segs)
+        leaf_str = leaf_name.key if hasattr(leaf_name, "key") else str(leaf_name)
+        if leaf_str == "gamma":
+            tk = f"{key}.gamma"
+            arr = np.asarray(t[tk])
+        elif key in passthrough and leaf_str in ("cls_token", "pos_embed"):
+            arr = np.asarray(t[leaf_str])
+        elif key == "" and leaf_str in ("cls_token", "pos_embed"):
+            arr = np.asarray(t[leaf_str])
+        else:
+            k2 = key
+            k2 = k2.replace("patch_embed", "patch_embed.proj")
+            k2 = k2.replace("mlp_fc1", "mlp.fc1").replace("mlp_fc2", "mlp.fc2")
+            arr = _fetch(t, k2, leaf_str, leaf.shape)
+        if arr.shape != tuple(leaf.shape):
+            raise ValueError(f"{key}.{leaf_str}: {arr.shape} vs {tuple(leaf.shape)}")
+        leaves.append(jnp.asarray(arr, dtype or leaf.dtype))
+    return {"params": jax.tree_util.tree_unflatten(treedef, leaves)}
+
+
+_CLIP_VISION_REWRITES = (
+    (r"^patch_embedding", "vision_model.embeddings.patch_embedding"),
+    (r"^layers\.", "vision_model.encoder.layers."),
+    (r"^pre_layrnorm", "vision_model.pre_layrnorm"),
+    (r"^post_layernorm", "vision_model.post_layernorm"),
+)
+
+
+def convert_clip_vision(flax_params, tensors, dtype=None):
+    """HF CLIPModel (vision tower + visual_projection) -> flax params."""
+    t = dict(tensors)
+    flat = jax.tree_util.tree_flatten_with_path(flax_params["params"])[0]
+    treedef = jax.tree_util.tree_structure(flax_params["params"])
+    leaves = []
+    for path, leaf in flat:
+        *mods, leaf_name = path
+        segs = [p.key if hasattr(p, "key") else str(p) for p in mods]
+        segs = [s for s in segs if s not in ("GroupNorm_0", "LayerNorm_0")]
+        key = ".".join(_module_to_diffusers(s) for s in segs)
+        leaf_str = leaf_name.key if hasattr(leaf_name, "key") else str(leaf_name)
+        if leaf_str == "class_embedding":
+            arr = np.asarray(t["vision_model.embeddings.class_embedding"])
+        elif leaf_str == "position_embedding":
+            arr = np.asarray(t["vision_model.embeddings.position_embedding.weight"])
+        elif leaf_str == "visual_projection":
+            arr = np.asarray(t["visual_projection.weight"]).T
+        else:
+            for pat, rep in _CLIP_VISION_REWRITES:
+                key = re.sub(pat, rep, key)
+            arr = _fetch(t, key, leaf_str, leaf.shape)
+        if arr.shape != tuple(leaf.shape):
+            raise ValueError(f"{key}.{leaf_str}: {arr.shape} vs {tuple(leaf.shape)}")
+        leaves.append(jnp.asarray(arr, dtype or leaf.dtype))
+    return {"params": jax.tree_util.tree_unflatten(treedef, leaves)}
+
+
+def save_params(params, path: str):
+    """Serialise a converted param tree to msgpack (metric encoders cache)."""
+    import flax.serialization
+
+    with open(path, "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(
+            jax.tree_util.tree_map(np.asarray, params)
+        ))
+
+
+def load_sd15(pipe, checkpoint_dir: str, dtype: Optional[jnp.dtype] = None) -> dict:
+    """Convert a diffusers SD-1.5 checkpoint dir into freefine_tpu params.
+
+    `pipe` is a `freefine_tpu.pipeline.FreeFine` built with
+    `init_random=True` (its random tree supplies structure + shapes).
+    Expects `checkpoint_dir/{unet,vae,text_encoder}/*.safetensors`.
+    """
+    unet_t = _load_safetensors_dir(os.path.join(checkpoint_dir, "unet"))
+    vae_t = _load_safetensors_dir(os.path.join(checkpoint_dir, "vae"))
+    text_t = _load_safetensors_dir(os.path.join(checkpoint_dir, "text_encoder"))
+    params = {
+        "unet": convert_unet(pipe.params["unet"], unet_t, dtype),
+        "vae": convert_vae(pipe.params["vae"], vae_t, dtype),
+        "text": convert_text_encoder(pipe.params["text"], text_t, dtype),
+    }
+    return params

@@ -1,0 +1,124 @@
+"""GeoBench dataset + distributed harness tests (synthetic mini-dataset)."""
+
+import json
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from freefine_tpu.data.geobench import (
+    GeoBenchDataset,
+    difficulty_level,
+    filter_by_level,
+    save_image,
+)
+
+
+def _mini_annotations(tmp_path, n_da=2, n_ins=2, n_edit=2):
+    data = {}
+    for d in range(n_da):
+        instances = {}
+        for i in range(n_ins):
+            edits = {}
+            for e in range(n_edit):
+                img = np.random.default_rng(d * 10 + i).integers(
+                    0, 255, (64, 64, 3), dtype=np.uint8
+                )
+                mask = np.zeros((64, 64), np.uint8)
+                mask[10:30, 10:30] = 255
+                img_p = str(tmp_path / f"img_{d}_{i}.png")
+                mask_p = str(tmp_path / f"mask_{d}_{i}.png")
+                save_image(img, img_p)
+                save_image(mask, mask_p)
+                adverb = ["lightly", "moderately", "heavily"][e % 3]
+                edits[str(e)] = {
+                    "edit_prompt": f"{adverb} move the cup to the right",
+                    "edit_param": [10, 0, 0, 0, 0, 0, 1, 1, 1],
+                    "ori_img_path": img_p,
+                    "ori_mask_path": mask_p,
+                    "obj_label": "cup",
+                    "4v_caption": "a cup on a table",
+                }
+            instances[str(i)] = edits
+        data[f"da{d}"] = {"instances": instances}
+    ann = tmp_path / "annotations_2d.json"
+    ann.write_text(json.dumps(data))
+    return str(ann), data
+
+
+def test_dataset_flatten_and_resume(tmp_path):
+    ann, _ = _mini_annotations(tmp_path)
+    dst = str(tmp_path / "gen")
+    ds = GeoBenchDataset.from_json(ann, dst)
+    assert len(ds) == 8 and not ds.existing_results
+
+    # pre-create one output -> resumed
+    p = ds.output_path("da0", "0", "0")
+    save_image(np.zeros((64, 64, 3), np.uint8), p)
+    ds2 = GeoBenchDataset.from_json(ann, dst)
+    assert len(ds2) == 7 and len(ds2.existing_results) == 1
+
+
+def test_shard_partition(tmp_path):
+    ann, _ = _mini_annotations(tmp_path)
+    ds = GeoBenchDataset.from_json(ann, str(tmp_path / "gen"))
+    shards = [ds.shard(i, 3) for i in range(3)]
+    assert sum(len(s) for s in shards) == len(ds)
+    ids = [(c["da_n"], c["ins_id"], c["edit_ins"]) for s in shards for c in s]
+    assert len(set(ids)) == len(ds)
+
+
+def test_merge_results_schema(tmp_path):
+    ann, data = _mini_annotations(tmp_path)
+    ds = GeoBenchDataset.from_json(ann, str(tmp_path / "gen"))
+    results = [dict(c, gen_img_path="x.png") for c in ds.shard(0, 2)]
+    results2 = [dict(c, gen_img_path="y.png") for c in ds.shard(1, 2)]
+    merged = ds.merge_results([results, results2])
+    assert set(merged) == set(data)
+    for da_n, da in data.items():
+        for ins_id, ins in da["instances"].items():
+            for e in ins:
+                assert "gen_img_path" in merged[da_n]["instances"][ins_id][e]
+
+
+def test_difficulty_levels():
+    assert difficulty_level("lightly move it") == 1
+    assert difficulty_level("Moderately rotate") == 2
+    assert difficulty_level("heavily enlarge") == 3
+    with pytest.raises(ValueError):
+        difficulty_level("move it")
+
+
+def test_filter_by_level(tmp_path):
+    _, data = _mini_annotations(tmp_path)
+    f = filter_by_level(json.loads(json.dumps(data)), 1)
+    kept = [
+        e for da in f.values() for ins in da["instances"].values() for e in ins
+    ]
+    assert kept and all(e == "0" for e in kept)  # edit 0 used "lightly"
+
+
+@pytest.mark.slow
+def test_harness_end_to_end(tmp_path):
+    """Single-process harness over the mini dataset with the tiny pipeline."""
+    from freefine_tpu.config import tiny_pipeline_config
+    from freefine_tpu.parallel.harness import run_geobench_inference
+    from freefine_tpu.pipeline import FreeFine
+
+    ann, _ = _mini_annotations(tmp_path, n_da=1, n_ins=1, n_edit=2)
+    pipe = FreeFine(config=tiny_pipeline_config(), init_random=True)
+    merged = run_geobench_inference(
+        pipe, ann, str(tmp_path), task="2d",
+        num_step=4, start_step=2, max_cases=2,
+        progress=lambda s: None,
+    )
+    assert merged is not None
+    paths = [
+        v["gen_img_path"]
+        for da in merged.values()
+        for ins in da["instances"].values()
+        for v in ins.values()
+    ]
+    assert len(paths) == 2 and all(osp.exists(p) for p in paths)
+    assert osp.exists(tmp_path / "generated_results_freefine_2d.json")
