@@ -1,0 +1,100 @@
+"""3D point-splatting tests: identity round-trip, translation, occlusion."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from freefine_tpu.ops import point_splat as PS
+
+H = W = 64
+FX = FY = 80.0
+
+
+@pytest.fixture
+def scene(rng_np):
+    img = rng_np.integers(40, 255, (H, W, 3)).astype(np.uint8)
+    mask = np.zeros((H, W), np.uint8)
+    mask[24:40, 20:36] = 1
+    depth = np.full((H, W), 5.0, np.float32)
+    return img, mask, depth
+
+
+def test_euler_matrix_z90():
+    r = np.asarray(PS.euler_xyz_matrix(jnp.float32(0), jnp.float32(0), jnp.deg2rad(90.0)))
+    # p @ Rz(90): x-axis -> (0, -1)? Rz = [[0,-1,0],[1,0,0],[0,0,1]];
+    # [1,0,0] @ Rz = [0,-1,0]
+    np.testing.assert_allclose(np.array([1.0, 0, 0]) @ r, [0, -1, 0], atol=1e-6)
+
+
+def test_identity_transform_roundtrip(scene):
+    """Identity transform must reproduce the object pixels exactly."""
+    img, mask, depth = scene
+    final, tmask, _ = PS.re_edit_3d_depth(
+        img, mask, depth, [0, 0, 0, 0, 0, 0, 1, 1, 1],
+        focal_length_x=FX, focal_length_y=FY,
+    )
+    obj = mask > 0
+    assert (tmask[obj] > 0).mean() > 0.98
+    diff = np.abs(final[obj].astype(float) - img[obj].astype(float))
+    assert np.median(diff) < 2.0, np.median(diff)
+    # background untouched outside the rendered mask
+    bg = (~obj) & (tmask == 0)
+    np.testing.assert_array_equal(final[bg], img[bg])
+
+
+def test_translation_moves_object(scene):
+    """dx=0.5 relative -> object shifts by ~half its width (in -x after the
+    opencv->p3d flip, i.e. LEFT in pixels)."""
+    img, mask, depth = scene
+    _, tmask, _ = PS.re_edit_3d_depth(
+        img, mask, depth, [0.5, 0, 0, 0, 0, 0, 1, 1, 1],
+        focal_length_x=FX, focal_length_y=FY,
+    )
+    ys0, xs0 = np.where(mask > 0)
+    ys, xs = np.where(tmask > 0)
+    width = xs0.max() - xs0.min()
+    shift = xs0.mean() - xs.mean()  # flip makes +dx move left in pixels
+    assert abs(abs(shift) - width / 2) < width * 0.25, (shift, width)
+
+
+def test_scale_grows_object(scene):
+    img, mask, depth = scene
+    _, tmask, _ = PS.re_edit_3d_depth(
+        img, mask, depth, [0, 0, 0, 0, 0, 0, 1.5, 1.5, 1.0],
+        focal_length_x=FX, focal_length_y=FY,
+    )
+    assert (tmask > 0).sum() > 1.5 * (mask > 0).sum()
+
+
+def test_occlusion_front_wins():
+    """Two coincident points: the nearer one should dominate the pixel."""
+    pts = jnp.asarray([[0.0, 0.0, 2.0], [0.0, 0.0, 8.0]])
+    rgb = jnp.asarray([[255.0, 0, 0], [0, 0, 255.0]])
+    wts = jnp.ones(2)
+    img, mask = PS.splat_points(pts, rgb, wts, h=16, w=16, fx=16.0, fy=16.0)
+    px = np.asarray(img[8, 8])
+    assert px[0] > 250 and px[2] < 5, px  # red (near) wins
+    assert mask[8, 8] == 1
+
+
+def test_fill_holes():
+    img = jnp.zeros((16, 16, 3)).at[4:12, 4:12].set(100.0)
+    known = jnp.zeros((16, 16)).at[4:12, 4:12].set(1.0)
+    # punch a hole
+    img = img.at[7:9, 7:9].set(0.0)
+    known = known.at[7:9, 7:9].set(0.0)
+    filled, known2 = PS.fill_holes_partial_conv(img, known, iterations=4)
+    np.testing.assert_allclose(np.asarray(filled[7:9, 7:9]), 100.0, atol=1e-3)
+    assert np.asarray(known2).min() >= 0  # grows monotonically
+
+
+def test_rotation_y_changes_layout(scene):
+    img, mask, depth = scene
+    # vary depth so a y-rotation actually changes the projection
+    depth = depth + np.linspace(0, 2, W)[None, :].astype(np.float32)
+    _, tmask, _ = PS.re_edit_3d_depth(
+        img, mask, depth, [0, 0, 0, 0, 25, 0, 1, 1, 1],
+        focal_length_x=FX, focal_length_y=FY,
+    )
+    assert (tmask > 0).any()
+    assert not np.array_equal(tmask > 0, mask > 0)
