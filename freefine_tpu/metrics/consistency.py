@@ -1,0 +1,143 @@
+"""BGC / SUBC consistency metrics (reference evaluation/metrics/VBench/).
+
+  * BGC: CLIP ViT-B/32 cosine similarity of source vs edited image with the
+    union of src+tgt masks blanked out (background_consistency.py:18-49).
+  * SUBC: DINO ViT-B/16 cosine similarity of masked subject crops
+    (subject_consistency.py:10-43).
+
+Both take a pluggable `encode(img_uint8) -> [D]` feature function so the
+metric math is testable without checkpoints; `make_clip_encoder` /
+`make_dino_encoder` build jitted on-device encoders from converted weights.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import numpy as np
+
+
+def _cos(a: np.ndarray, b: np.ndarray) -> float:
+    a = a / max(np.linalg.norm(a), 1e-12)
+    b = b / max(np.linalg.norm(b), 1e-12)
+    return float(max(0.0, float(a @ b)))
+
+
+def _resize_mask(mask: np.ndarray, hw) -> np.ndarray:
+    from PIL import Image
+
+    return np.array(
+        Image.fromarray(np.asarray(mask).astype(np.uint8)).resize(
+            (hw[1], hw[0]), Image.BILINEAR
+        )
+    )
+
+
+def background_consistency_single(
+    src_img: np.ndarray, gen_img: np.ndarray,
+    src_mask: np.ndarray, tgt_mask: np.ndarray,
+    encode: Callable[[np.ndarray], np.ndarray],
+) -> float:
+    """Blank the union of masks (threshold: src+tgt < 128 keeps background,
+    background_consistency.py:21-27), encode, cosine."""
+    m1 = _resize_mask(src_mask, src_img.shape[:2]).astype(np.int32)
+    m2 = _resize_mask(tgt_mask, src_img.shape[:2]).astype(np.int32)
+    keep = ((m1 + m2) < 128).astype(np.uint8)
+    a = encode(src_img * keep[..., None])
+    b = encode(gen_img * keep[..., None])
+    return _cos(np.asarray(a), np.asarray(b))
+
+
+def subject_consistency_single(
+    src_img: np.ndarray, gen_img: np.ndarray,
+    src_mask: np.ndarray, tgt_mask: np.ndarray,
+    encode: Callable[[np.ndarray], np.ndarray],
+) -> float:
+    """Keep only the masked subject in each image (> 128,
+    subject_consistency.py:18-23), encode, cosine."""
+    m1 = (_resize_mask(src_mask, src_img.shape[:2]) > 128).astype(np.uint8)
+    m2 = (_resize_mask(tgt_mask, gen_img.shape[:2]) > 128).astype(np.uint8)
+    a = encode(src_img * m1[..., None])
+    b = encode(gen_img * m2[..., None])
+    return _cos(np.asarray(a), np.asarray(b))
+
+
+def _iterate_pairs(data: Dict, image_label: str):
+    from PIL import Image
+
+    for image in data.values():
+        for instance in image["instances"].values():
+            for sample in instance.values():
+                yield (
+                    np.array(Image.open(sample["ori_img_path"]).convert("RGB")),
+                    np.array(Image.open(sample[image_label]).convert("RGB")),
+                    np.array(Image.open(sample["ori_mask_path"]).convert("L")),
+                    np.array(Image.open(sample["tgt_mask_path"]).convert("L")),
+                )
+
+
+def background_consistency(data: Dict, image_label: str, encode) -> float:
+    vals = [
+        background_consistency_single(*pair, encode)
+        for pair in _iterate_pairs(data, image_label)
+    ]
+    return float(np.mean(vals)) if vals else 0.0
+
+
+def subject_consistency(data: Dict, image_label: str, encode) -> float:
+    vals = [
+        subject_consistency_single(*pair, encode)
+        for pair in _iterate_pairs(data, image_label)
+    ]
+    return float(np.mean(vals)) if vals else 0.0
+
+
+def make_clip_encoder(params) -> Callable[[np.ndarray], np.ndarray]:
+    """Jitted CLIP ViT-B/32 image-feature fn from converted params."""
+    import jax
+    import jax.numpy as jnp
+
+    from freefine_tpu.models.clip_image import (
+        CLIPImageEncoder,
+        clip_vit_b32,
+        preprocess_clip,
+    )
+
+    model = CLIPImageEncoder(clip_vit_b32())
+    apply = jax.jit(lambda p, x: model.apply(p, x))
+
+    def encode(img: np.ndarray) -> np.ndarray:
+        x = preprocess_clip(jnp.asarray(img.astype(np.uint8)))
+        return np.asarray(apply(params, x))[0]
+
+    return encode
+
+
+def make_dino_encoder(params, config=None) -> Callable[[np.ndarray], np.ndarray]:
+    """Jitted DINO ViT feature fn (cls token) from converted params.
+
+    The reference uses DINOv1 ViT-B/16 for SUBC; the same `DINOv2` module
+    (patch 16, no-op LayerScale filled with ones at conversion) hosts those
+    weights.  FID_DINO uses DINOv2 ViT-B/14 (fid_dino.py:22-42).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from freefine_tpu.models.dinov2 import DINOv2, DINOv2Config
+
+    cfg = config or DINOv2Config(
+        dim=768, depth=12, heads=12, patch_size=16, pos_embed_size=14
+    )
+    model = DINOv2(cfg)
+    apply = jax.jit(lambda p, x: model.apply(p, x)[1])
+    mean = jnp.asarray([0.485, 0.456, 0.406])
+    std = jnp.asarray([0.229, 0.224, 0.225])
+    size = 224 - (224 % cfg.patch_size)
+
+    def encode(img: np.ndarray) -> np.ndarray:
+        x = jnp.asarray(img.astype(np.float32)) / 255.0
+        x = jax.image.resize(x, (size, size, 3), method="bicubic")
+        x = (x - mean) / std
+        return np.asarray(apply(params, x[None]))[0]
+
+    return encode

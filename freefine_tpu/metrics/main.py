@@ -1,0 +1,198 @@
+"""GeoBench metrics CLI — mirrors the reference evaluation entry point
+(/root/reference/evaluation/metrics/main.py:85-148):
+
+  python -m freefine_tpu.metrics.main --path results.json --task 000011100
+
+Task string (9 chars, 1=compute): FID, IRS, HPS, BGC, SUBC, WRAP_E, MD,
+FID_DINO, FID_KD — same order and semantics as the reference, including the
+--level difficulty filter, --no_rotate, --3d mask-key swap and the
+relative->absolute path fixup.
+
+Checkpoint-dependent metrics (FID*, IRS, HPS, BGC, SUBC, MD) need converted
+weights passed via --weights-dir; metrics whose encoder weights are missing
+are reported as 'unavailable' rather than crashing, so WRAP_E (and any
+subset) can always run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import os.path as osp
+
+
+def parse_data_rotate(data):
+    """Drop cases with z-rotation (reference main.py:44-55)."""
+    for da in data.values():
+        for ins in da["instances"].values():
+            for case_id in [
+                c for c, gt in ins.items() if gt.get("edit_param", [0] * 6)[5] != 0
+            ]:
+                ins.pop(case_id)
+    return data
+
+
+def parse_data_3d(data):
+    """3D eval mask/coarse key swap (reference main.py:57-66)."""
+    for da in data.values():
+        for ins in da["instances"].values():
+            for gt in ins.values():
+                gt["tgt_mask_path"] = gt["target_mask_0"]
+                gt["coarse_input_path"] = gt["coarse_input_path_0"]
+    return data
+
+
+def make_absolute_path(data, base_dir, gen_img_key):
+    keys = [
+        "ori_img_path", "coarse_input_path", "ori_mask_path",
+        "tgt_mask_path", gen_img_key,
+    ]
+    for da in data.values():
+        for ins in da["instances"].values():
+            for gt in ins.values():
+                for k in keys:
+                    if k in gt:
+                        gt[k] = osp.join(base_dir, gt[k])
+    return data
+
+
+def _collect_paths(data, image_label):
+    gen = []
+    for da in data.values():
+        for ins in da["instances"].values():
+            for gt in ins.values():
+                gen.append(gt[image_label])
+    return gen
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="GeoBench evaluation")
+    parser.add_argument("--path", required=True)
+    parser.add_argument("--level", default=0, type=int)
+    parser.add_argument("--task", default="100111111", type=str)
+    parser.add_argument("--gen_img_key", default="gen_img_path")
+    parser.add_argument("--no_rotate", action="store_true")
+    parser.add_argument("--3d", dest="three_d", action="store_true")
+    parser.add_argument("--fid_path", default=None,
+                        help="real-image dir for the FID family")
+    parser.add_argument("--use_relative_path", action="store_true")
+    parser.add_argument("--base_dir", default=None)
+    parser.add_argument("--weights-dir", default=None,
+                        help="dir with converted metric-encoder params "
+                             "(clip_b32.msgpack, dino_vitb16.msgpack, "
+                             "dinov2_vitb14.msgpack)")
+    args = parser.parse_args(argv)
+
+    from freefine_tpu.data.geobench import filter_by_level
+
+    data = json.load(open(args.path))
+    if args.level:
+        data = filter_by_level(data, args.level)
+    if args.no_rotate:
+        data = parse_data_rotate(data)
+    if args.three_d:
+        data = parse_data_3d(data)
+    if args.use_relative_path:
+        assert args.base_dir, "--base_dir required with --use_relative_path"
+        data = make_absolute_path(data, args.base_dir, args.gen_img_key)
+
+    label = args.gen_img_key
+    result = {}
+
+    def load_params(name):
+        if args.weights_dir is None:
+            return None
+        p = osp.join(args.weights_dir, name)
+        if not osp.exists(p):
+            return None
+        import flax.serialization
+        import jax
+
+        with open(p, "rb") as f:
+            return flax.serialization.msgpack_restore(f.read())
+
+    def unavailable(metric, need):
+        print(f"{metric}: unavailable (missing {need}; pass --weights-dir)")
+        result[metric] = None
+
+    task = args.task
+    if int(task[0]):
+        dino_p = load_params("dinov2_vitb14.msgpack")
+        # InceptionV3-FID requires the pytorch-fid weights; the DINOv2
+        # Frechet distance (bit 7) is the on-TPU equivalent family member.
+        unavailable("FID", "InceptionV3 weights (use FID_DINO / FID_KD)")
+    if int(task[1]):
+        unavailable("IRS", "ImageReward checkpoint")
+    if int(task[2]):
+        unavailable("HPS", "HPSv2.1 checkpoint")
+    if int(task[3]):
+        p = load_params("clip_b32.msgpack")
+        if p is None:
+            unavailable("BGC", "clip_b32.msgpack")
+        else:
+            from freefine_tpu.metrics.consistency import (
+                background_consistency,
+                make_clip_encoder,
+            )
+
+            result["BGC"] = background_consistency(data, label, make_clip_encoder(p))
+    if int(task[4]):
+        p = load_params("dino_vitb16.msgpack")
+        if p is None:
+            unavailable("SUBC", "dino_vitb16.msgpack")
+        else:
+            from freefine_tpu.metrics.consistency import (
+                make_dino_encoder,
+                subject_consistency,
+            )
+
+            result["SUBC"] = subject_consistency(data, label, make_dino_encoder(p))
+    if int(task[5]):
+        from freefine_tpu.metrics.wrap_error import wrap_error
+
+        result["WRAP_E"] = wrap_error(data, label)
+    if int(task[6]):
+        unavailable("MD", "DIFT (SD-2.1) checkpoint")
+    if int(task[7]) or int(task[8]):
+        p = load_params("dinov2_vitb14.msgpack")
+        if p is None:
+            if int(task[7]):
+                unavailable("FID_DINO", "dinov2_vitb14.msgpack")
+            if int(task[8]):
+                unavailable("FID_KD", "dinov2_vitb14.msgpack")
+        else:
+            import numpy as np
+            from PIL import Image
+
+            from freefine_tpu.metrics.common import fid_from_features, polynomial_mmd
+            from freefine_tpu.metrics.consistency import make_dino_encoder
+            from freefine_tpu.models.dinov2 import dinov2_vitb14
+
+            enc = make_dino_encoder(p, dinov2_vitb14())
+            gen_paths = _collect_paths(data, label)
+            assert args.fid_path, "--fid_path required for the FID family"
+            real_paths = [
+                osp.join(args.fid_path, f)
+                for f in sorted(os.listdir(args.fid_path))
+                if f.lower().endswith((".png", ".jpg", ".jpeg"))
+            ]
+            feats_g = np.stack(
+                [enc(np.array(Image.open(p_).convert("RGB"))) for p_ in gen_paths]
+            )
+            feats_r = np.stack(
+                [enc(np.array(Image.open(p_).convert("RGB"))) for p_ in real_paths]
+            )
+            if int(task[7]):
+                result["FID_DINO"] = fid_from_features(feats_g, feats_r)
+            if int(task[8]):
+                result["FID_KD"] = polynomial_mmd(feats_g, feats_r)
+
+    print("-----Result-----")
+    for k, v in result.items():
+        print(f"{k}: {v}")
+    return result
+
+
+if __name__ == "__main__":
+    main()
