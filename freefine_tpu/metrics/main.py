@@ -118,10 +118,22 @@ def main(argv=None):
 
     task = args.task
     if int(task[0]):
-        dino_p = load_params("dinov2_vitb14.msgpack")
-        # InceptionV3-FID requires the pytorch-fid weights; the DINOv2
-        # Frechet distance (bit 7) is the on-TPU equivalent family member.
-        unavailable("FID", "InceptionV3 weights (use FID_DINO / FID_KD)")
+        p = load_params("inception_fid.msgpack")
+        if p is None:
+            unavailable("FID", "inception_fid.msgpack")
+        else:
+            import os as _os
+
+            from freefine_tpu.metrics.fid import fid_inception
+
+            assert args.fid_path, "--fid_path required for FID"
+            gen_paths = _collect_paths(data, label)
+            real_paths = [
+                osp.join(args.fid_path, f)
+                for f in sorted(os.listdir(args.fid_path))
+                if f.lower().endswith((".png", ".jpg", ".jpeg"))
+            ]
+            result["FID"] = fid_inception(gen_paths, real_paths, p)
     if int(task[1]):
         unavailable("IRS", "ImageReward checkpoint")
     if int(task[2]):

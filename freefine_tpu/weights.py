@@ -289,6 +289,41 @@ def convert_clip_vision(flax_params, tensors, dtype=None):
     return {"params": jax.tree_util.tree_unflatten(treedef, leaves)}
 
 
+def convert_inception_fid(flax_params, tensors, dtype=None):
+    """pytorch-fid / torchvision inception state dict -> flax InceptionV3FID.
+
+    torch naming: <block>.conv.weight + <block>.bn.{weight,bias,
+    running_mean,running_var}; flax leaves: conv/kernel + bn_scale/bn_bias/
+    bn_mean/bn_var under the same block path."""
+    leaf_map = {
+        "kernel": ("conv.weight", True),
+        "bn_scale": ("bn.weight", False),
+        "bn_bias": ("bn.bias", False),
+        "bn_mean": ("bn.running_mean", False),
+        "bn_var": ("bn.running_var", False),
+    }
+    flat = jax.tree_util.tree_flatten_with_path(flax_params["params"])[0]
+    treedef = jax.tree_util.tree_structure(flax_params["params"])
+    leaves = []
+    for path, leaf in flat:
+        *mods, leaf_name = path
+        segs = [p.key if hasattr(p, "key") else str(p) for p in mods]
+        leaf_str = leaf_name.key if hasattr(leaf_name, "key") else str(leaf_name)
+        # the flax tree nests BNConv params one level deeper ('conv' module
+        # for the kernel); drop a trailing 'conv' segment
+        if segs and segs[-1] == "conv":
+            segs = segs[:-1]
+        suffix, is_conv = leaf_map[leaf_str]
+        key = ".".join(segs + [suffix])
+        t = np.asarray(tensors[key])
+        if is_conv:
+            t = t.transpose(2, 3, 1, 0)
+        if t.shape != tuple(leaf.shape):
+            raise ValueError(f"{key}: {t.shape} vs {tuple(leaf.shape)}")
+        leaves.append(jnp.asarray(t, dtype or leaf.dtype))
+    return {"params": jax.tree_util.tree_unflatten(treedef, leaves)}
+
+
 def save_params(params, path: str):
     """Serialise a converted param tree to msgpack (metric encoders cache)."""
     import flax.serialization
