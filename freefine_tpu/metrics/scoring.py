@@ -1,0 +1,82 @@
+"""Preference scores: HPS (OpenCLIP ViT-H cosine) and the IRS interface.
+
+HPS (reference evaluation/metrics/human_preference_score.py:40-83): per
+image, diag(image_features @ text_features.T) with the GPT-4V caption as
+text, both feature sets L2-normalised — averaged over all cases.
+
+IRS (image_reward.py:6-35) needs ImageReward-v1.0 (a BLIP backbone + MLP
+head); `irs_score` defines the interface and raises until those weights/
+modules are converted (tracked gap, see README).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import numpy as np
+
+
+def hps_single(
+    img: np.ndarray, prompt: str,
+    encode_image: Callable[[np.ndarray], np.ndarray],
+    encode_text: Callable[[str], np.ndarray],
+) -> float:
+    fi = np.asarray(encode_image(img), np.float64)
+    ft = np.asarray(encode_text(prompt), np.float64)
+    fi = fi / max(np.linalg.norm(fi), 1e-12)
+    ft = ft / max(np.linalg.norm(ft), 1e-12)
+    return float(fi @ ft)
+
+
+def hps(data: Dict, image_label: str, encode_image, encode_text) -> float:
+    """Average HPS over the results JSON; prompt = the per-image
+    '4v_caption' (human_preference_score.py:66-80)."""
+    from PIL import Image
+
+    total, num = 0.0, 0
+    for image in data.values():
+        prompt = image.get("4v_caption", "")
+        for instance in image["instances"].values():
+            for sample in instance.values():
+                img = np.array(Image.open(sample[image_label]).convert("RGB"))
+                p = prompt or sample.get("4v_caption", "")
+                total += hps_single(img, p, encode_image, encode_text)
+                num += 1
+    return total / max(num, 1)
+
+
+def make_hps_encoders(image_params, text_params, tokenizer):
+    """Jitted (encode_image, encode_text) from converted HPSv2.1 weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from freefine_tpu.models.clip_image import (
+        CLIPImageEncoder,
+        clip_vit_h14,
+        preprocess_clip,
+    )
+    from freefine_tpu.models.open_clip_text import OpenCLIPText, open_clip_text_h14
+
+    img_model = CLIPImageEncoder(clip_vit_h14())
+    txt_model = OpenCLIPText(open_clip_text_h14())
+    img_apply = jax.jit(lambda p, x: img_model.apply(p, x))
+    txt_apply = jax.jit(lambda p, i: txt_model.apply(p, i))
+
+    def encode_image(img):
+        x = preprocess_clip(jnp.asarray(img.astype(np.uint8)))
+        return np.asarray(img_apply(image_params, x))[0]
+
+    def encode_text(prompt):
+        ids = jnp.asarray(tokenizer.encode(prompt))[None]
+        return np.asarray(txt_apply(text_params, ids))[0]
+
+    return encode_image, encode_text
+
+
+def irs_score(*_args, **_kwargs):
+    """ImageReward-v1.0 scoring — requires the BLIP backbone conversion
+    (not yet implemented; the metrics CLI reports IRS as unavailable)."""
+    raise NotImplementedError(
+        "IRS needs ImageReward's BLIP backbone; convert the checkpoint and "
+        "implement freefine_tpu.models.blip first."
+    )
