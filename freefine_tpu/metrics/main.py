@@ -135,9 +135,25 @@ def main(argv=None):
             ]
             result["FID"] = fid_inception(gen_paths, real_paths, p)
     if int(task[1]):
-        unavailable("IRS", "ImageReward checkpoint")
+        p = load_params("image_reward.msgpack")
+        if p is None:
+            unavailable("IRS", "image_reward.msgpack")
+        else:
+            from freefine_tpu.metrics.scoring import irs, make_irs_scorer
+
+            result["IRS"] = irs(data, label, make_irs_scorer(p))
     if int(task[2]):
-        unavailable("HPS", "HPSv2.1 checkpoint")
+        pi = load_params("hps_image.msgpack")
+        pt = load_params("hps_text.msgpack")
+        if pi is None or pt is None:
+            unavailable("HPS", "hps_image.msgpack + hps_text.msgpack")
+        else:
+            from freefine_tpu.metrics.scoring import hps, make_hps_encoders
+            from freefine_tpu.models.tokenizer import load_tokenizer
+
+            tok = load_tokenizer(args.weights_dir)
+            enc_i, enc_t = make_hps_encoders(pi, pt, tok)
+            result["HPS"] = hps(data, label, enc_i, enc_t)
     if int(task[3]):
         p = load_params("clip_b32.msgpack")
         if p is None:

@@ -73,10 +73,43 @@ def make_hps_encoders(image_params, text_params, tokenizer):
     return encode_image, encode_text
 
 
-def irs_score(*_args, **_kwargs):
-    """ImageReward-v1.0 scoring — requires the BLIP backbone conversion
-    (not yet implemented; the metrics CLI reports IRS as unavailable)."""
-    raise NotImplementedError(
-        "IRS needs ImageReward's BLIP backbone; convert the checkpoint and "
-        "implement freefine_tpu.models.blip first."
+def make_irs_scorer(params, tokenizer=None):
+    """Jitted ImageReward scorer from converted BLIP params
+    (freefine_tpu.models.blip.ImageReward)."""
+    import jax
+    import jax.numpy as jnp
+
+    from freefine_tpu.models.blip import (
+        BlipConfig,
+        HashWordTokenizer,
+        ImageReward,
+        preprocess_blip,
     )
+
+    model = ImageReward(BlipConfig())
+    tok = tokenizer or HashWordTokenizer()
+    apply = jax.jit(lambda p, im, ids, m: model.apply(p, im, ids, m))
+
+    def score(img: np.ndarray, prompt: str) -> float:
+        x = preprocess_blip(jnp.asarray(img.astype(np.uint8)))
+        ids, mask = tok.encode(prompt)
+        return float(apply(params, x, jnp.asarray(ids)[None],
+                           jnp.asarray(mask)[None])[0])
+
+    return score
+
+
+def irs(data: Dict, image_label: str, score) -> float:
+    """Average ImageReward over the results JSON (image_reward.py:6-35):
+    per top-level image the GPT-4V caption scores every generated case."""
+    from PIL import Image
+
+    total, num = 0.0, 0
+    for image in data.values():
+        prompt = image.get("4v_caption", "")
+        for instance in image["instances"].values():
+            for sample in instance.values():
+                img = np.array(Image.open(sample[image_label]).convert("RGB"))
+                total += score(img, prompt or sample.get("4v_caption", ""))
+                num += 1
+    return total / max(num, 1)

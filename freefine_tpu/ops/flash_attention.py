@@ -68,7 +68,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_s, l_s, acc_s, *, scal
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale                                    # [BQ, BK]
     if use_mask:
-        s = s + (mask_ref[0] - 1.0) * -NEG_INF   # [1, BK] broadcast over BQ
+        s = s + (mask_ref[0, 0][None, :] - 1.0) * -NEG_INF  # broadcast over BQ
 
     m_prev = m_s[:, 0]
     m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
@@ -114,7 +114,7 @@ def flash_sdpa(
     mask = (
         jnp.ones((b, sk), jnp.float32) if key_mask is None
         else key_mask.astype(jnp.float32)
-    )
+    )[:, None, :]  # [B, 1, Sk]: TPU blocks need the sublane dim == array dim
     scale = 1.0 / (d ** 0.5)
 
     grid = (b * heads, sq // bq, sk // bk)
@@ -128,7 +128,9 @@ def flash_sdpa(
             pl.BlockSpec((1, bq, d), lambda h, qi, ki: (h, qi, 0)),
             pl.BlockSpec((1, bk, d), lambda h, qi, ki: (h, ki, 0)),
             pl.BlockSpec((1, bk, d), lambda h, qi, ki: (h, ki, 0)),
-            pl.BlockSpec((1, bk), lambda h, qi, ki, _hh=heads: (h // _hh, ki)),
+            pl.BlockSpec(
+                (1, 1, bk), lambda h, qi, ki, _hh=heads: (h // _hh, 0, ki)
+            ),
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda h, qi, ki: (h, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b * heads, sq, d), q.dtype),
@@ -165,7 +167,7 @@ def _tca_kernel(
             a[:] = jnp.zeros_like(a)
 
     q = q_ref[0].astype(jnp.float32)
-    fg = fg_ref[0]                                # [1, BK] 0/1 key mask
+    fg = fg_ref[0, 0][None, :]                    # [1, BK] 0/1 key mask
 
     def update(s, m_s, l_s, acc_s, v):
         m_prev = m_s[:, 0]
@@ -202,7 +204,7 @@ def _tca_kernel(
         out_fg = accf_s[:] / jnp.maximum(lf_s[:, 0], 1e-30)[:, None]
         out_bg = accb_s[:] / jnp.maximum(lb_s[:, 0], 1e-30)[:, None]
         tq = tq_ref[0][0][:, None]                # [BQ, 1] query composite
-        cg = cg_ref[0]
+        cg = cg_ref[0, 0]                         # scalar from SMEM
         modulated = tq * out_fg + (1.0 - tq) * out_bg
         o_ref[0] = (cg * modulated + (1.0 - cg) * out_self).astype(o_ref.dtype)
 
@@ -238,7 +240,7 @@ def tca_flash(
     qh = split(q)
     ksh, vsh = split(k_self), split(v_self)
     kmh, vmh = split(k_mod), split(v_mod)
-    fg = fg_key_mask.astype(jnp.float32)
+    fg = fg_key_mask.astype(jnp.float32)[:, None, :]  # [B, 1, S]
     tq = tq_mask.astype(jnp.float32)[:, None, :]      # [B, 1, S]
     cg = jnp.broadcast_to(
         jnp.asarray(context_guidance, jnp.float32), (1, 1)
@@ -257,7 +259,7 @@ def tca_flash(
             pl.BlockSpec((1, bk, d), lambda h, qi, ki: (h, ki, 0)),
             pl.BlockSpec((1, bk, d), lambda h, qi, ki: (h, ki, 0)),
             pl.BlockSpec((1, bk, d), lambda h, qi, ki: (h, ki, 0)),
-            pl.BlockSpec((1, bk), lambda h, qi, ki: (h // hh, ki)),
+            pl.BlockSpec((1, 1, bk), lambda h, qi, ki: (h // hh, 0, ki)),
             pl.BlockSpec((1, 1, bq), lambda h, qi, ki: (h // hh, 0, qi)),
             pl.BlockSpec((1, 1), lambda h, qi, ki: (0, 0), memory_space=pltpu.SMEM),
         ],

@@ -51,3 +51,36 @@ def test_hps_single_cosine():
     img = np.zeros((4, 4, 3), np.uint8)
     assert hps_single(img, "same", enc_i, enc_t) == pytest.approx(1.0)
     assert hps_single(img, "other", enc_i, enc_t) == pytest.approx(0.0)
+
+
+def test_image_reward_tiny_forward():
+    from freefine_tpu.models.blip import BlipConfig, HashWordTokenizer, ImageReward
+
+    cfg = BlipConfig(
+        image_size=32, patch_size=16, vision_width=32, vision_layers=2,
+        vision_heads=2, text_width=32, text_layers=2, text_heads=2,
+        text_intermediate=64, vocab_size=500, max_text_len=8,
+    )
+    model = ImageReward(cfg)
+    tok = HashWordTokenizer(vocab_size=500, max_len=8)
+    ids, mask = tok.encode("a cat on a mat")
+    img = jnp.zeros((1, 32, 32, 3))
+    p = model.init(jax.random.key(0), img, jnp.asarray(ids)[None],
+                   jnp.asarray(mask)[None])
+    s = model.apply(p, img, jnp.asarray(ids)[None], jnp.asarray(mask)[None])
+    assert s.shape == (1,)
+    assert np.isfinite(float(s[0]))
+
+
+def test_wordpiece_tokenizer():
+    from freefine_tpu.models.blip import WordPieceTokenizer
+
+    vocab = {w: i for i, w in enumerate(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "cat", "##s", "dog"]
+    )}
+    tok = WordPieceTokenizer(vocab, max_len=8)
+    ids, mask = tok.encode("a cats dog zebra")
+    assert ids[0] == vocab["[CLS]"]
+    assert list(ids[1:5]) == [vocab["a"], vocab["cat"], vocab["##s"], vocab["dog"]]
+    assert vocab["[SEP]"] in ids
+    assert mask.sum() == 7
