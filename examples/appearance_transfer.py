@@ -7,6 +7,9 @@ FreeFine_cross_image_composition([app_img, bg_img], [app_mask, bg_mask],
 Usage: python examples/appearance_transfer.py --tiny
 """
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _bootstrap  # noqa: F401  (JAX_PLATFORMS override)
 import argparse
 import time
 

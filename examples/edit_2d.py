@@ -13,6 +13,9 @@ Usage:
       --image img.png --mask mask.png --prompt "a red car"
 """
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _bootstrap  # noqa: F401  (JAX_PLATFORMS override)
 import argparse
 import time
 

@@ -1,12 +1,11 @@
-"""Object removal workflow — parity with jupyter_demo/object_removal.ipynb.
+"""Structure completion — parity with jupyter_demo/sc_vis.ipynb.
 
-Reference flow: dilate the object mask by 30, then
-FreeFine_background_generation(ori_img, dil_mask, "an empty ... scene",
-guidance_scale=3.5, eta=1.0, method_type='tca', start_step=1).
+Reference flow: the user supplies a draw_mask marking the region to
+synthesise; FreeFine_generation runs with use_auto_draw=False so the
+completion region comes from the draw mask (coarse input = source image,
+target mask = the structure's mask).
 
-Usage: python examples/object_removal.py --tiny
-       python examples/object_removal.py --checkpoint /path/sd15 \
-           --image img.png --mask mask.png --prompt "an empty street"
+Usage: python examples/structure_completion.py --tiny
 """
 
 import os, sys
@@ -23,16 +22,13 @@ def main():
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--image", default=None)
-    ap.add_argument("--mask", default=None)
-    ap.add_argument("--prompt", default="an empty scene")
-    ap.add_argument("--num-step", type=int, default=None)
-    ap.add_argument("--out", default="removal_out.png")
+    ap.add_argument("--mask", default=None, help="object/structure mask")
+    ap.add_argument("--draw-mask", default=None, help="region to complete")
+    ap.add_argument("--prompt", default="a complete object")
+    ap.add_argument("--out", default="completion_out.png")
     args = ap.parse_args()
 
-    import jax.numpy as jnp
-
     from freefine_tpu.config import sd15_pipeline_config, tiny_pipeline_config
-    from freefine_tpu.masks import dilate
     from freefine_tpu.pipeline import FreeFine
 
     cfg = tiny_pipeline_config() if args.tiny else sd15_pipeline_config()
@@ -51,22 +47,26 @@ def main():
 
         img = np.asarray(Image.open(args.image).convert("RGB").resize((w, h)))
         mask = np.asarray(Image.open(args.mask).convert("L").resize((w, h), 0))
+        draw = np.asarray(Image.open(args.draw_mask).convert("L").resize((w, h), 0))
     else:
-        rng = np.random.default_rng(0)
+        rng = np.random.default_rng(1)
         img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
         mask = np.zeros((h, w), np.uint8)
-        mask[h // 3 : h // 2, w // 3 : w // 2] = 255
+        mask[h // 4 : h // 2, w // 4 : w // 2] = 255
+        draw = np.zeros((h, w), np.uint8)
+        draw[h // 2 : 3 * h // 4, w // 4 : w // 2] = 255  # extend downward
 
-    dil = np.asarray(dilate(jnp.asarray((mask > 0).astype(np.float32)), 30))
-    num_step = args.num_step or (8 if args.tiny else 50)
-
+    num_step = 8 if args.tiny else 50
+    start_step = 4 if args.tiny else 25
     t0 = time.time()
-    out = pipe.background_generation(
-        img, (dil * 255).astype(np.uint8), args.prompt,
-        guidance_scale=3.5, eta=1.0, method_type="tca",
-        num_step=num_step, start_step=1, end_step=max(1, num_step // 5),
+    out = pipe.generation(
+        img, mask, img, mask, args.prompt,
+        guidance_scale=7.5, eta=1.0,
+        num_step=num_step, start_step=start_step,
+        end_step=max(1, num_step // 5),
+        draw_mask=draw, use_auto_draw=False,
     )
-    print(f"removal: {time.time()-t0:.2f}s -> {out.shape}")
+    print(f"structure completion: {time.time()-t0:.2f}s -> {out.shape}")
 
     from PIL import Image
 

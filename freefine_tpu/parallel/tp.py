@@ -1,0 +1,84 @@
+"""Tensor-parallel sharding for the UNet over a ('data', 'model') mesh.
+
+The reference has no intra-model parallelism (SURVEY.md §2.6 — case-level
+data parallel only); this module is the planned scaling path for larger
+backbones (SDXL/DiT swap, reference README TODO): Megatron-style sharding
+of every attention/FF projection over the `model` mesh axis, with XLA
+inserting the all-reduces:
+
+  * to_q/to_k/to_v and GEGLU up-projections: output-dim sharded
+    (column parallel — heads split across chips);
+  * to_out / FF down-projections: input-dim sharded (row parallel);
+  * conv / norm / embedding params: replicated.
+
+Apply `shard_params` to place the tree, and wrap step functions with
+`jax.jit(..., in_shardings=...)`; sharding propagation does the rest.
+Bias terms of row-parallel layers stay replicated — XLA adds them after
+the psum, matching the Megatron formulation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# path-suffix -> (kernel partition spec builder)
+_COL_PARALLEL = ("to_q", "to_k", "to_v", "proj")      # GEGLU 'proj' included
+_ROW_PARALLEL = ("to_out_0", "net_2")
+
+
+def make_mesh(
+    n_model: int = 1, devices=None, data_axis: str = "data",
+    model_axis: str = "model",
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    assert n % n_model == 0, (n, n_model)
+    arr = np.array(devices).reshape(n // n_model, n_model)
+    return Mesh(arr, (data_axis, model_axis))
+
+
+def _spec_for_path(path, leaf, model_axis: str) -> P:
+    names = [p.key if hasattr(p, "key") else str(p) for p in path]
+    if not names or leaf.ndim == 0:
+        return P()
+    leaf_name = names[-1]
+    parent = names[-2] if len(names) >= 2 else ""
+    if leaf_name == "kernel" and leaf.ndim == 2:
+        if parent in _COL_PARALLEL:
+            return P(None, model_axis)
+        if parent in _ROW_PARALLEL:
+            return P(model_axis, None)
+    if leaf_name == "bias" and parent in _COL_PARALLEL:
+        return P(model_axis)
+    return P()
+
+
+def param_shardings(params, mesh: Mesh, model_axis: str = "model"):
+    """Pytree of NamedShardings implementing the TP layout."""
+    def spec(path, leaf):
+        s = _spec_for_path(path, leaf, model_axis)
+        # only shard if the dimension divides evenly
+        for dim, name in zip(leaf.shape, s):
+            if name is not None and dim % mesh.shape[model_axis] != 0:
+                return NamedSharding(mesh, P())
+        return NamedSharding(mesh, s)
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def shard_params(params, mesh: Mesh, model_axis: str = "model"):
+    """Place a param tree onto the mesh with the TP layout."""
+    sh = param_shardings(params, mesh, model_axis)
+    return jax.tree_util.tree_map(jax.device_put, params, sh)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharded(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(data_axis))
