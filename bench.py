@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--start-step", type=int, default=None)
     ap.add_argument("--repeats", type=int, default=3, help="timed edits")
     ap.add_argument("--tiny", action="store_true", help="tiny config smoke run")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="cases per device step (BatchedFreeFine)")
     args = ap.parse_args()
 
     import jax
@@ -65,15 +67,32 @@ def main():
         else max(1, int(round(num_step * 0.7)))  # 35/50, the 2D eval setting
     )
 
-    def one_edit(seed):
-        return pipe.generation(
-            ori, ori_mask, coarse, tgt_mask, "a photo of an object",
-            guidance_scale=7.5, eta=1.0,
-            num_step=num_step, start_step=start_step,
-            end_step=max(1, num_step // 5),
-            use_auto_draw=True, cons_area=cons, reduce_inp_artifacts=True,
-            seed=seed,
-        )
+    if args.batch > 1:
+        from freefine_tpu.pipeline import BatchedFreeFine
+
+        batched = BatchedFreeFine(pipe)
+        cases = [
+            dict(ori_img=ori, ori_mask=ori_mask, coarse_input=coarse,
+                 target_mask=tgt_mask, guidance_text="a photo of an object")
+            for _ in range(args.batch)
+        ]
+
+        def one_edit(seed):
+            return batched.generation(
+                cases, guidance_scale=7.5, eta=1.0,
+                num_step=num_step, start_step=start_step,
+                end_step=max(1, num_step // 5), seed=seed,
+            )[0]
+    else:
+        def one_edit(seed):
+            return pipe.generation(
+                ori, ori_mask, coarse, tgt_mask, "a photo of an object",
+                guidance_scale=7.5, eta=1.0,
+                num_step=num_step, start_step=start_step,
+                end_step=max(1, num_step // 5),
+                use_auto_draw=True, cons_area=cons, reduce_inp_artifacts=True,
+                seed=seed,
+            )
 
     t0 = time.time()
     one_edit(0)  # compile + warm caches
@@ -83,7 +102,7 @@ def main():
     for i in range(args.repeats):
         out = one_edit(i + 1)
     wall = time.time() - t0
-    per_edit = wall / args.repeats
+    per_edit = wall / args.repeats / args.batch
     epm = 60.0 / per_edit
 
     result = {
@@ -95,6 +114,7 @@ def main():
     print(
         f"# device={jax.devices()[0].platform} compile={compile_s:.1f}s "
         f"per_edit={per_edit:.2f}s steps={num_step} start={start_step} "
+        f"batch={args.batch} "
         f"out={out.shape}",
         file=sys.stderr,
     )

@@ -244,3 +244,40 @@ def re_edit_3d_depth(
     tmask = (np.asarray(keep) > 0)[:, :, None]
     final = np.where(tmask, rendered, np.asarray(inp_cur))
     return final, tmask[:, :, 0].astype(np.uint8) * 255, rendered
+
+
+def compute_correspondence(
+    depth: np.ndarray,
+    mask: np.ndarray,
+    edit_param: Sequence[float],
+    focal_length_x: float = 470.4,
+    focal_length_y: float = 470.4,
+) -> np.ndarray:
+    """Dense source->target pixel correspondence for a 3D edit.
+
+    The MD metric's 3D ground truth (reference
+    evaluation/FreeFine/get_3d_transform_correspondence.py:179-291 builds
+    these maps via GeoDiffuser mesh-warping + CUDA softsplat and saves
+    `correspondence/*.npy`; evaluation/metrics/MD/mean_distance.py:102-108
+    consumes them).  Here the same map falls directly out of the
+    back-project -> transform -> re-project chain: for every source pixel,
+    the (row, col) it lands on after the 3D edit.
+
+    Returns [H, W, 2] float64 (row, col), NaN outside the mask.
+    """
+    h, w = np.asarray(depth).shape
+    pts = backproject(jnp.asarray(depth, jnp.float32), focal_length_x,
+                      focal_length_y)
+    m = np.asarray(mask)
+    if m.ndim == 3:
+        m = m[:, :, 0]
+    weights = jnp.asarray((m > 0).reshape(-1), jnp.float32)
+    p9 = list(map(float, edit_param))
+    assert len(p9) == 9
+    pts_t = np.asarray(transform_object_points(pts, weights, p9))
+    z = np.maximum(pts_t[:, 2], 1e-6)
+    u = pts_t[:, 0] * focal_length_x / z + w / 2.0
+    v = pts_t[:, 1] * focal_length_y / z + h / 2.0
+    corr = np.stack([v, u], axis=-1).reshape(h, w, 2)
+    corr[m <= 0] = np.nan
+    return corr

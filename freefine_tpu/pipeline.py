@@ -669,3 +669,145 @@ class FreeFine:
         layout of forward_sampling (model.py:536-564)."""
         embs = self.encode_text(["", guidance_text])
         return jnp.stack([embs[0], embs[0], embs[1], embs[0]])
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-case editing
+# ---------------------------------------------------------------------------
+
+
+def edit_case_fn(
+    unet_plain,
+    unet_edit,
+    schedule: DDIMSchedule,
+    ecfg: EditConfig,
+    *,
+    num_actual: int,
+    start_step: int,
+    guidance_scale: float,
+    eta: float,
+    local_text_edit: bool,
+    local_perturbation: bool,
+):
+    """One case's full edit compute (invert both streams -> regenerate),
+    as a pure function suitable for `jax.vmap` over a case axis.
+
+    The reference harness is explicitly limited to batch size 1
+    ("we do not support batchsize > 1", evaluation/FreeFine/
+    freefine_batch_infer_2d.py:170) because its attention controller holds
+    per-case mutable state; here the state is data, so cases batch freely —
+    the key throughput unlock on large chips.
+    """
+
+    def fn(params, lat2, text2, text4, state, cg, gates, cfg_mask, var_mask, rng):
+        traj = ddim_invert_loop(unet_plain, params, schedule, lat2, text2,
+                                num_actual)
+        return sample_edit_loop(
+            unet_edit, params, schedule, ecfg, traj, text4, state, cg, gates,
+            cfg_mask, var_mask, rng,
+            start_step=start_step, guidance_scale=guidance_scale, eta=eta,
+            local_text_edit=local_text_edit,
+            local_perturbation=local_perturbation,
+        )
+
+    return fn
+
+
+def _stack_states(states):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+
+class BatchedFreeFine:
+    """Multi-case batched `generation` on top of a FreeFine pipeline.
+
+    Processes N independent GeoBench-style cases per device step: the UNet
+    batch becomes N*4 streams, amortising launch overheads and filling the
+    MXU at small resolutions.
+    """
+
+    def __init__(self, pipe: "FreeFine"):
+        self.pipe = pipe
+
+    def generation(
+        self,
+        cases,  # sequence of dicts with ori_img/ori_mask/coarse_input/
+                # target_mask/guidance_text (+ optional draw/cons kwargs)
+        guidance_scale: float = 7.5,
+        eta: float = 1.0,
+        end_step: int = 10,
+        num_step: int = 50,
+        start_step: int = 25,
+        method_type: str = "tca",
+        local_text_edit: bool = True,
+        local_perturbation: bool = True,
+        use_auto_draw: bool = True,
+        reduce_inp_artifacts: bool = True,
+        end_scale: float = 0.5,
+        seed: int = 42,
+    ):
+        pipe = self.pipe
+        cfg = pipe.config
+        lh, lw = cfg.latent_height, cfg.latent_width
+        n = len(cases)
+
+        lat2, text2, text4, states, cfg_masks, var_masks = [], [], [], [], [], []
+        uncond = pipe.encode_text([""])[0]
+        for case in cases:
+            coarse = pipe._prep_image(case["coarse_input"])
+            ori = pipe._prep_image(case["ori_img"])
+            lc = pipe.image_to_latent(coarse)
+            lr = pipe.image_to_latent(ori)
+            lat2.append(jnp.concatenate([lc, lr], axis=0))
+            text2.append(jnp.stack([uncond, uncond]))
+            embs = pipe.encode_text(["", case["guidance_text"]])
+            text4.append(jnp.stack([embs[0], embs[0], embs[1], embs[0]]))
+            em = mask_ops.prepare_various_mask(
+                jnp.asarray(case["target_mask"]), jnp.asarray(case["ori_mask"]),
+                None if case.get("draw_mask") is None
+                else jnp.asarray(case["draw_mask"]),
+                cfg.height, cfg.width, lh, lw,
+                use_auto_draw=use_auto_draw,
+                cons_area=jnp.asarray(
+                    case.get("cons_area",
+                             np.zeros((cfg.height, cfg.width), np.float32))
+                ),
+                reduce_inp_artifacts=reduce_inp_artifacts,
+            )
+            states.append(EditState(
+                fg_retain=build_mask_pyramid(em.fg_retain, lh, lw),
+                fg_ref=build_mask_pyramid(em.fg_ref, lh, lw),
+                local_region=build_mask_pyramid(em.fg_retain, lh, lw),
+            ))
+            cfg_masks.append(em.completion_cfg)
+            var_masks.append(em.local_var)
+
+        method, cg, gates = _method_and_gates(
+            method_type, start_step, end_step, num_step, end_scale
+        )
+        ecfg = EditConfig(mode="edit", method=method, local_cfg=local_text_edit)
+        key = (
+            "edit_batch", n, num_step, start_step, ecfg, guidance_scale, eta,
+            local_text_edit, local_perturbation,
+        )
+        if key not in pipe._jit_cache:
+            schedule = pipe._schedule(num_step)
+            case_fn = edit_case_fn(
+                pipe._unet_apply_plain, pipe._make_unet_apply(ecfg),
+                schedule, ecfg,
+                num_actual=num_step - start_step, start_step=start_step,
+                guidance_scale=guidance_scale, eta=eta,
+                local_text_edit=local_text_edit,
+                local_perturbation=local_perturbation,
+            )
+            pipe._jit_cache[key] = jax.jit(
+                jax.vmap(case_fn, in_axes=(None, 0, 0, 0, 0, None, None, 0, 0, 0))
+            )
+        rngs = jax.random.split(jax.random.key(seed), n)
+        out = pipe._jit_cache[key](
+            pipe.params, jnp.stack(lat2), jnp.stack(text2), jnp.stack(text4),
+            _stack_states(states), jnp.asarray(cg), jnp.asarray(gates),
+            jnp.stack(cfg_masks), jnp.stack(var_masks), rngs,
+        )
+        # decode all edit streams in one VAE batch
+        imgs = pipe.latent_to_image(out[:, 0])
+        return [imgs[i] for i in range(n)]

@@ -98,3 +98,20 @@ def test_rotation_y_changes_layout(scene):
     )
     assert (tmask > 0).any()
     assert not np.array_equal(tmask > 0, mask > 0)
+
+
+def test_compute_correspondence_identity_and_translate(scene):
+    img, mask, depth = scene
+    c = PS.compute_correspondence(depth, mask, [0, 0, 0, 0, 0, 0, 1, 1, 1],
+                                  FX, FY)
+    rr, cc = np.mgrid[24:40, 20:36]
+    np.testing.assert_allclose(c[24:40, 20:36, 0], rr, atol=0.01)
+    np.testing.assert_allclose(c[24:40, 20:36, 1], cc, atol=0.01)
+    assert np.isnan(c[0, 0]).all()
+
+    # +dx (p3d flip) moves targets LEFT by ~half the object width
+    c2 = PS.compute_correspondence(depth, mask, [0.5, 0, 0, 0, 0, 0, 1, 1, 1],
+                                   FX, FY)
+    shift = c[24:40, 20:36, 1].mean() - c2[24:40, 20:36, 1].mean()
+    width = 16
+    assert abs(shift - width / 2) < width * 0.2, shift
