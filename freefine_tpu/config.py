@@ -36,6 +36,12 @@ class UNetConfig:
     # Which down blocks carry cross/self attention (SD-1.5: first three).
     down_block_has_attn: Tuple[bool, ...] = (True, True, True, False)
     up_block_has_attn: Tuple[bool, ...] = (False, True, True, True)
+    # Transformer blocks per spatial transformer, per resolution level
+    # (SD-1.5: 1 everywhere; SDXL: (1, 2, 10)).
+    transformer_depth: Tuple[int, ...] = (1, 1, 1, 1)
+    # SDXL-style added conditioning: projected (text_embeds ++ time_ids)
+    # vector folded into the timestep embedding; None disables.
+    addition_embed_dim: int | None = None
     norm_num_groups: int = 32
     freq_shift: int = 0
     flip_sin_to_cos: bool = True
@@ -154,6 +160,24 @@ def tiny_pipeline_config(height: int = 64, width: int = 64) -> PipelineConfig:
         dtype=jnp.float32,
     )
     return PipelineConfig(unet=unet, vae=vae, text=text, height=height, width=width)
+
+
+def sdxl_unet_config(dtype=None) -> UNetConfig:
+    """SDXL-base UNet shape (the reference's planned backbone swap,
+    README TODO): 3 levels, transformer depths (1, 2, 10), 2048-d context,
+    added text/time conditioning (2816-d input)."""
+    return UNetConfig(
+        sample_size=128,
+        block_out_channels=(320, 640, 1280),
+        layers_per_block=2,
+        num_attention_heads=8,  # head_dim 64 via channels/heads per level
+        cross_attention_dim=2048,
+        down_block_has_attn=(False, True, True),
+        up_block_has_attn=(True, True, False),
+        transformer_depth=(1, 2, 10),
+        addition_embed_dim=2816,
+        dtype=dtype or jnp.bfloat16,
+    )
 
 
 def sd15_pipeline_config(

@@ -169,3 +169,16 @@ def filter_by_level(data: Dict, level: int) -> Dict:
             ]:
                 ins.pop(case_id)
     return data
+
+
+def prepare_mask_pool(instances: Dict) -> List[str]:
+    """Mask paths of every instance in an image — the pool used to build
+    constraint areas protecting other objects during sampling
+    (reference src/utils/vis_utils.py:196-208)."""
+    pool = []
+    for ins in instances.values():
+        if not ins:
+            continue
+        first = next(iter(ins))
+        pool.append(ins[first]["ori_mask_path"])
+    return pool

@@ -239,10 +239,16 @@ class BasicTransformerBlock(nn.Module):
 
 
 class SpatialTransformer(nn.Module):
-    """Transformer2DModel: GN -> 1x1 conv in -> block -> 1x1 conv out + skip."""
+    """Transformer2DModel: GN -> proj in -> depth x block -> proj out + skip.
+
+    depth > 1 and use_linear (Dense projections instead of 1x1 convs) cover
+    the SDXL-class configuration; SD-1.5 uses depth 1 with conv projections.
+    """
 
     heads: int
     norm_num_groups: int = 32
+    depth: int = 1
+    use_linear: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -253,14 +259,24 @@ class SpatialTransformer(nn.Module):
         b, hh, ww, c = x.shape
         residual = x
         h = GroupNorm32(self.norm_num_groups, epsilon=1e-6, name="norm")(x)
-        h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(h)
-        h = h.reshape(b, hh * ww, c)
-        h = BasicTransformerBlock(
-            self.heads, dtype=self.dtype, name="transformer_blocks_0"
-        )(
-            h, context, edit_cfg=edit_cfg, edit_state=edit_state,
-            block_index=block_index, place=place, context_extra=context_extra,
-        )
-        h = h.reshape(b, hh, ww, c)
-        h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(h)
+        if self.use_linear:
+            h = h.reshape(b, hh * ww, c)
+            h = nn.Dense(c, dtype=self.dtype, name="proj_in")(h)
+        else:
+            h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(h)
+            h = h.reshape(b, hh * ww, c)
+        for d in range(self.depth):
+            h = BasicTransformerBlock(
+                self.heads, dtype=self.dtype, name=f"transformer_blocks_{d}"
+            )(
+                h, context, edit_cfg=edit_cfg, edit_state=edit_state,
+                block_index=block_index + d, place=place,
+                context_extra=context_extra,
+            )
+        if self.use_linear:
+            h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
+            h = h.reshape(b, hh, ww, c)
+        else:
+            h = h.reshape(b, hh, ww, c)
+            h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(h)
         return h + residual

@@ -61,6 +61,7 @@ class UNet2DCondition(nn.Module):
         edit_state: Optional[EditState] = None,
         context_extra: Optional[jnp.ndarray] = None,
         h_sample: Optional[jnp.ndarray] = None,
+        added_cond: Optional[jnp.ndarray] = None,
         return_features: bool = False,
     ):
         cfg = self.config
@@ -81,15 +82,32 @@ class UNet2DCondition(nn.Module):
             dtype=dtype,
             name="time_embedding",
         )(timestep)
+        if cfg.addition_embed_dim is not None:
+            assert added_cond is not None, (
+                "this config needs SDXL-style added conditioning "
+                "(projected text_embeds ++ time_ids)"
+            )
+            a = nn.Dense(
+                cfg.block_out_channels[0] * 4, dtype=dtype, name="add_embedding_1"
+            )(added_cond.astype(dtype))
+            a = nn.silu(a)
+            a = nn.Dense(
+                cfg.block_out_channels[0] * 4, dtype=dtype, name="add_embedding_2"
+            )(a)
+            temb = temb + a
 
         heads = cfg.num_attention_heads
         num_blocks = len(cfg.block_out_channels)
         attn_index = 0  # transformer-block counter in execution order
 
-        def make_transformer(name):
+        use_linear = cfg.addition_embed_dim is not None  # SDXL convention
+
+        def make_transformer(name, level):
             return SpatialTransformer(
                 heads=heads,
                 norm_num_groups=cfg.norm_num_groups,
+                depth=cfg.transformer_depth[level],
+                use_linear=use_linear,
                 dtype=dtype,
                 name=name,
             )
@@ -108,13 +126,13 @@ class UNet2DCondition(nn.Module):
                     name=f"down_blocks_{i}_resnets_{j}",
                 )(h, temb)
                 if has_attn:
-                    h = make_transformer(f"down_blocks_{i}_attentions_{j}")(
+                    h = make_transformer(f"down_blocks_{i}_attentions_{j}", i)(
                         h, context,
                         edit_cfg=edit_cfg, edit_state=edit_state,
                         block_index=attn_index, place="down",
                         context_extra=context_extra,
                     )
-                    attn_index += 1
+                    attn_index += cfg.transformer_depth[i]
                 skips.append(h)
             if i < num_blocks - 1:
                 h = Downsample(out_ch, dtype, name=f"down_blocks_{i}_downsamplers_0")(h)
@@ -125,12 +143,12 @@ class UNet2DCondition(nn.Module):
         h = ResnetBlock(mid_ch, cfg.norm_num_groups, dtype, name="mid_block_resnets_0")(
             h, temb
         )
-        h = make_transformer("mid_block_attentions_0")(
+        h = make_transformer("mid_block_attentions_0", num_blocks - 1)(
             h, context,
             edit_cfg=edit_cfg, edit_state=edit_state,
             block_index=attn_index, place="mid", context_extra=context_extra,
         )
-        attn_index += 1
+        attn_index += cfg.transformer_depth[num_blocks - 1]
         h = ResnetBlock(mid_ch, cfg.norm_num_groups, dtype, name="mid_block_resnets_1")(
             h, temb
         )
@@ -159,13 +177,14 @@ class UNet2DCondition(nn.Module):
                     name=f"up_blocks_{i}_resnets_{j}",
                 )(h, temb)
                 if has_attn:
-                    h = make_transformer(f"up_blocks_{i}_attentions_{j}")(
+                    level = num_blocks - 1 - i
+                    h = make_transformer(f"up_blocks_{i}_attentions_{j}", level)(
                         h, context,
                         edit_cfg=edit_cfg, edit_state=edit_state,
                         block_index=attn_index, place="up",
                         context_extra=context_extra,
                     )
-                    attn_index += 1
+                    attn_index += cfg.transformer_depth[level]
             if i < num_blocks - 1:
                 h = Upsample(out_ch, dtype, name=f"up_blocks_{i}_upsamplers_0")(h)
             features.append(h)

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -811,3 +812,30 @@ class BatchedFreeFine:
         # decode all edit streams in one VAE batch
         imgs = pipe.latent_to_image(out[:, 0])
         return [imgs[i] for i in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing
+# ---------------------------------------------------------------------------
+
+
+def save_pipeline(pipe: "FreeFine", path: str):
+    """Persist converted/initialised params with orbax (the framework's
+    checkpoint format; the reference only ever loads HF checkpoints,
+    SURVEY.md §5)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), pipe.params, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_pipeline_params(pipe: "FreeFine", path: str) -> dict:
+    """Restore params saved by `save_pipeline` (shape/dtype-checked against
+    the pipeline's current tree)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path), pipe.params)
+    pipe.params = restored
+    return restored
