@@ -18,8 +18,7 @@ Implemented here:
 from __future__ import annotations
 
 import dataclasses
-import os
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

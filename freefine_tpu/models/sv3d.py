@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from freefine_tpu.models.layers import timestep_embedding
-from freefine_tpu.models.video_unet import VideoUNet, VideoUNetConfig, sv3d_config
+from freefine_tpu.models.video_unet import VideoUNet
 
 
 # -- EDM pieces (sgm/modules/diffusionmodules) --------------------------------

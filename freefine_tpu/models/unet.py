@@ -19,7 +19,7 @@ plain port, by design:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

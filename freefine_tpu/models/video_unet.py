@@ -35,7 +35,6 @@ from freefine_tpu.models.layers import (
     GroupNorm32,
     LayerNorm32,
     FeedForward,
-    GEGLU,
     TimestepEmbed,
     timestep_embedding,
 )

@@ -8,7 +8,6 @@ without a toolchain; `HAVE_NATIVE` reports which path is active.
 from __future__ import annotations
 
 import ctypes
-import os
 import os.path as osp
 import subprocess
 import threading

@@ -13,7 +13,6 @@ UNet's `return_features` path, and matching is a batched cosine argmax.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -23,8 +23,7 @@ and correct for rotation/scale as well.
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

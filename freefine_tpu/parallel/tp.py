@@ -19,8 +19,6 @@ the psum, matching the Megatron formulation.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -38,7 +38,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,7 +51,6 @@ from freefine_tpu.edit import (
     EditState,
     build_mask_pyramid,
     build_mask_stack_pyramid,
-    none_config,
 )
 from freefine_tpu.models.text_encoder import CLIPTextEncoder
 from freefine_tpu.models.tokenizer import load_tokenizer
@@ -663,6 +662,94 @@ class FreeFine:
         )
         return self.latent_to_image(out)[0]
 
+    def guided_generation(
+        self,
+        ori_img: np.ndarray,
+        ori_mask: np.ndarray,
+        coarse_input: np.ndarray,
+        target_mask: np.ndarray,
+        guidance_text: str,
+        energy_scale: float = 2.0,
+        energy_fraction: float = 0.6,
+        guidance_scale: float = 7.5,
+        eta: float = 1.0,
+        end_step: int = 10,
+        num_step: int = 50,
+        start_step: int = 25,
+        method_type: str = "tca",
+        use_auto_draw: bool = True,
+        cons_area: Optional[np.ndarray] = None,
+        end_scale: float = 0.5,
+        seed: int = 42,
+    ) -> np.ndarray:
+        """Geometric edit with DragonDiffusion-parity energy guidance on top
+        of the TCA regeneration: feature-cosine gradients (ops/guidance)
+        are added to the noise prediction for the first `energy_fraction`
+        of denoise steps (reference Sampler.py:74-90 applies guidance while
+        i < 30 of 50)."""
+        assert method_type in METHOD_TYPES, method_type
+        cfg = self.config
+        lh, lw = cfg.latent_height, cfg.latent_width
+
+        coarse = self._prep_image(coarse_input)
+        ori = self._prep_image(ori_img)
+        lat_c = self.image_to_latent(coarse)
+        lat_r = self.image_to_latent(ori)
+        traj = self.invert(
+            jnp.concatenate([lat_c, lat_r], axis=0), num_step, start_step
+        )
+
+        em = mask_ops.prepare_various_mask(
+            jnp.asarray(target_mask), jnp.asarray(ori_mask), None,
+            cfg.height, cfg.width, lh, lw,
+            use_auto_draw=use_auto_draw,
+            cons_area=jnp.asarray(
+                cons_area if cons_area is not None
+                else np.zeros((cfg.height, cfg.width), np.float32)
+            ),
+        )
+        state = EditState(
+            fg_retain=build_mask_pyramid(em.fg_retain, lh, lw),
+            fg_ref=build_mask_pyramid(em.fg_ref, lh, lw),
+            local_region=build_mask_pyramid(em.fg_retain, lh, lw),
+        )
+        method, cg, gates = _method_and_gates(
+            method_type, start_step, end_step, num_step, end_scale
+        )
+        ecfg = EditConfig(mode="edit", method=method, local_cfg=True)
+        text_emb = self._edit_text_embeddings(guidance_text)
+        energy_until = int(round((num_step - start_step) * energy_fraction))
+        emasks = _guided_energy_masks(cfg, em)
+
+        key = (
+            "guided", num_step, start_step, ecfg, guidance_scale, eta,
+            energy_scale, energy_until,
+        )
+        if key not in self._jit_cache:
+            unet_apply = self._make_unet_apply(ecfg)
+            schedule = self._schedule(num_step)
+
+            def unet_feat(p, s, t, emb, return_features=False):
+                return self.unet.apply(
+                    p["unet"], s, t, emb, return_features=return_features
+                )
+
+            fn = functools.partial(
+                sample_guided_loop, unet_apply, unet_feat,
+                start_step=start_step, guidance_scale=guidance_scale,
+                eta=eta, energy_scale=energy_scale,
+                energy_until=energy_until,
+            )
+            self._jit_cache[key] = jax.jit(
+                lambda p, *a, _fn=fn, _s=schedule, _e=ecfg: _fn(p, _s, _e, *a)
+            )
+        lat = self._jit_cache[key](
+            self.params, traj, text_emb, state,
+            jnp.asarray(cg), jnp.asarray(gates),
+            em.completion_cfg, em.local_var, emasks, jax.random.key(seed),
+        )
+        return self.latent_to_image(lat)[0]
+
     # -- helpers ----------------------------------------------------------------
 
     def _edit_text_embeddings(self, guidance_text: str) -> jnp.ndarray:
@@ -839,3 +926,91 @@ def load_pipeline_params(pipe: "FreeFine", path: str) -> dict:
     restored = ckptr.restore(os.path.abspath(path), pipe.params)
     pipe.params = restored
     return restored
+
+
+# ---------------------------------------------------------------------------
+# Energy-guided editing (DragonDiffusion-parity)
+# ---------------------------------------------------------------------------
+
+
+def sample_guided_loop(
+    unet_apply,      # edit-hooked apply (EditConfig closed over)
+    unet_feat,       # plain apply with return_features=True
+    params,
+    schedule: DDIMSchedule,
+    ecfg: EditConfig,
+    traj: jnp.ndarray,
+    text_emb: jnp.ndarray,
+    state: EditState,
+    cg: jnp.ndarray,
+    gates: jnp.ndarray,
+    completion_cfg: jnp.ndarray,
+    local_var: jnp.ndarray,
+    energy_masks: tuple,        # (mask_cur, mask_other, mask_non_overlap)
+    rng: jax.Array,
+    *,
+    start_step: int,
+    guidance_scale: float,
+    eta: float,
+    energy_scale: float,
+    energy_until: int,
+    feature_indices=(1, 2),
+) -> jnp.ndarray:
+    """`sample_edit_loop` with DragonDiffusion-style energy guidance added
+    to the CFG noise prediction for the first `energy_until` steps
+    (reference evaluation/DragonDiffusion/src/models/Sampler.py:74-90:
+    noise_pred = noise_pred + guidance while i < 30)."""
+    from freefine_tpu.ops.guidance import energy_guidance
+
+    mask_cur, mask_other, mask_no = energy_masks
+    target_hw = mask_cur.shape
+    k = traj.shape[0] - 1
+    ts = schedule.timesteps[start_step : start_step + k]
+    refs = jnp.flip(traj[:k], axis=0)[:, 1:]
+    init = traj[-1]
+    cfg_mask = completion_cfg[None, :, :, None]
+    step_ids = jnp.arange(k)
+
+    def body(carry, xs):
+        lat, key = carry
+        t, cgt, gt, ref, sid = xs
+        lat = lat.at[1:].set(ref)
+        st = dataclasses.replace(state, context_guidance=cgt, share_gate=gt)
+        model_in = jnp.concatenate([lat, lat], axis=0)
+        eps = unet_apply(params, model_in, t, text_emb, ecfg, st)
+        nu, nc = jnp.split(eps.astype(jnp.float32), 2, axis=0)
+        noise = nu + guidance_scale * (nc - nu) * cfg_mask
+
+        g = energy_guidance(
+            unet_feat, params, lat[:1], ref, t, text_emb[2:3],
+            energy_scale=energy_scale, guidance_mask=local_var,
+            feature_indices=feature_indices, target_hw=target_hw,
+            inv_warp=None, mask_cur=mask_cur, mask_other=mask_other,
+            mask_non_overlap=mask_no,
+        )
+        active = (sid < energy_until).astype(jnp.float32)
+        noise = noise.at[:1].add(active * g)
+
+        key, sub = jax.random.split(key)
+        lat, _ = ctrl_step(
+            schedule, noise, t, lat, local_var, eta, sub, ddim_streams_from=1
+        )
+        return (lat, key), None
+
+    (lat, _), _ = jax.lax.scan(
+        body, (init, rng), (ts, cg, gates, refs, step_ids)
+    )
+    return lat
+
+
+def _guided_energy_masks(cfg, em):
+    """(mask_cur, mask_other, mask_non_overlap) at the guidance feature
+    resolution (2x latent)."""
+    lh, lw = cfg.latent_height, cfg.latent_width
+    hw = (lh * 2, lw * 2)
+    resize = lambda m: jax.image.resize(m, hw, "nearest")
+    return (
+        resize(em.fg_retain),
+        resize(1.0 - jnp.maximum(em.fg_retain, em.fg_ref)),
+        resize(em.fg_ref * (1.0 - em.fg_retain)),
+    )
