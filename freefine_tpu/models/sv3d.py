@@ -230,3 +230,72 @@ def pick_frame_for_angle(
     t = target_deg % 360
     diff = np.minimum(np.abs(az - t), 360 - np.abs(az - t))
     return int(np.argmin(diff))
+
+
+def re_edit_3d_sv3d(
+    sv3d: "SV3D",
+    vae,                # freefine_tpu AutoencoderKL module
+    vae_params,
+    clip_image,         # CLIPImageEncoder (ViT-H) module or None
+    clip_params,
+    matting,            # (model, params) U2Net pair or None
+    src_img: np.ndarray,
+    src_mask: np.ndarray,
+    target_azimuth_deg: float,
+    elevation_deg: float = 10.0,
+    inp_background: Optional[np.ndarray] = None,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """SV3D-based coarse 3D edit, end to end (reference re_edit_3d.py
+    sv3d_sample -> rembg re-mask -> pasted_sv3d_back_to_img, :251-750):
+
+    crop the object square -> VAE-encode the conditioning frame -> sample
+    the 21-frame orbit with azimuths hitting the target angle -> pick the
+    closest frame -> re-extract its mask (U2Net matting; bbox fallback) ->
+    paste over the inpainted background.
+
+    Returns (coarse image, target mask 0/255).
+    """
+    from freefine_tpu.data.datagen import generate_azimuth_angles
+
+    rng = rng if rng is not None else jax.random.key(0)
+    crop, _bbox = crop_object_square(src_img, src_mask, out_size=576)
+
+    x = jnp.asarray(crop, jnp.float32)[None] / 127.5 - 1.0
+    cond_latent = vae.apply(vae_params, x, method=vae.encode)
+
+    if clip_image is not None:
+        from freefine_tpu.models.clip_image import preprocess_clip
+
+        tok = clip_image.apply(
+            clip_params, preprocess_clip(jnp.asarray(crop))
+        )[None]  # [1, 1, D]
+    else:
+        tok = jnp.zeros((1, 1, 1024), jnp.float32)
+
+    azimuths = generate_azimuth_angles(
+        sv3d.num_frames, [target_azimuth_deg, -target_azimuth_deg]
+    )
+    elevations = [elevation_deg] * sv3d.num_frames
+    latents = sv3d.sample_latents(
+        cond_latent, tok, azimuths, elevations, rng
+    )
+
+    idx = pick_frame_for_angle(azimuths, target_azimuth_deg)
+    frame = vae.apply(vae_params, latents[idx : idx + 1], method=vae.decode)
+    frame_u8 = np.clip(
+        (np.asarray(frame[0], np.float32) / 2.0 + 0.5) * 255.0, 0, 255
+    ).astype(np.uint8)
+
+    if matting is not None:
+        from freefine_tpu.models.u2net import get_mask_from_saliency
+
+        m_model, m_params = matting
+        view_mask = get_mask_from_saliency(m_model, m_params, frame_u8)
+    else:
+        # fallback: everything darker than near-white background is object
+        view_mask = (frame_u8.mean(-1) < 248).astype(np.uint8) * 255
+
+    return paste_novel_view_back(
+        src_img, src_mask, frame_u8, view_mask, inp_background
+    )

@@ -461,11 +461,8 @@ class FreeFine:
 
         coarse = self._prep_image(coarse_input)
         ori = self._prep_image(ori_img)
-        lat_c = self.image_to_latent(coarse)
-        lat_r = self.image_to_latent(ori)
-        traj = self.invert(
-            jnp.concatenate([lat_c, lat_r], axis=0), num_step, start_step
-        )
+        lat2 = self.image_to_latent(np.stack([coarse, ori]))  # one VAE batch
+        traj = self.invert(lat2, num_step, start_step)
 
         em = mask_ops.prepare_various_mask(
             jnp.asarray(target_mask), jnp.asarray(ori_mask),
@@ -693,11 +690,8 @@ class FreeFine:
 
         coarse = self._prep_image(coarse_input)
         ori = self._prep_image(ori_img)
-        lat_c = self.image_to_latent(coarse)
-        lat_r = self.image_to_latent(ori)
-        traj = self.invert(
-            jnp.concatenate([lat_c, lat_r], axis=0), num_step, start_step
-        )
+        lat2 = self.image_to_latent(np.stack([coarse, ori]))  # one VAE batch
+        traj = self.invert(lat2, num_step, start_step)
 
         em = mask_ops.prepare_various_mask(
             jnp.asarray(target_mask), jnp.asarray(ori_mask), None,
