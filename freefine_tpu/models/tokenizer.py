@@ -61,11 +61,9 @@ def whitespace_clean(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
+# CLIP's token regex; python's `re` lacks \p{L}/\p{N} classes, so this is
+# the standard ASCII fallback (identical behaviour for English prompts).
 _CLIP_PAT = re.compile(
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
-    re.IGNORECASE,
-) if False else re.compile(
-    # Python re lacks \p classes; the standard CLIP fallback:
     r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
     re.IGNORECASE,
 )
