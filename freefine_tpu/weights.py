@@ -350,3 +350,129 @@ def load_sd15(pipe, checkpoint_dir: str, dtype: Optional[jnp.dtype] = None) -> d
         "text": convert_text_encoder(pipe.params["text"], text_t, dtype),
     }
     return params
+
+
+# -- OpenCLIP (HPSv2.1) and BLIP (ImageReward) ---------------------------------
+
+
+def convert_open_clip_text(flax_params, tensors, prefix="text.", dtype=None):
+    """open_clip text tower state dict -> flax OpenCLIPText params.
+
+    open_clip names: {prefix}token_embedding.weight, {prefix}positional_
+    embedding, {prefix}transformer.resblocks.N.{ln_1,ln_2}.{weight,bias},
+    ...attn.{in_proj_weight,in_proj_bias,out_proj.*}, ...mlp.{c_fc,c_proj}.*,
+    {prefix}ln_final.*, {prefix}text_projection.  HPSv2.1 checkpoints use
+    prefix ''/'text.' depending on packaging — pass accordingly.
+    """
+    t = dict(tensors)
+    flat = jax.tree_util.tree_flatten_with_path(flax_params["params"])[0]
+    treedef = jax.tree_util.tree_structure(flax_params["params"])
+    leaves = []
+    for path, leaf in flat:
+        *mods, leaf_name = path
+        segs = [p.key if hasattr(p, "key") else str(p) for p in mods]
+        segs = [s for s in segs if s not in ("LayerNorm_0",)]
+        leaf_str = leaf_name.key if hasattr(leaf_name, "key") else str(leaf_name)
+        key = ".".join(_module_to_diffusers(s) for s in segs)
+        if leaf_str == "positional_embedding":
+            arr = np.asarray(t[f"{prefix}positional_embedding"])
+        elif leaf_str == "text_projection":
+            arr = np.asarray(t[f"{prefix}text_projection"])
+        elif key.startswith("token_embedding"):
+            arr = np.asarray(t[f"{prefix}token_embedding.weight"])
+        elif key.startswith("ln_final"):
+            arr = np.asarray(t[f"{prefix}ln_final.{_LEAF_MAP[leaf_str]}"])
+        else:
+            # resblocks.N.(in_proj|out_proj|mlp_fc|mlp_proj|ln_1|ln_2)
+            k2 = key.replace("resblocks.", f"{prefix}transformer.resblocks.")
+            k2 = k2.replace(".in_proj", ".attn.in_proj")
+            k2 = k2.replace(".out_proj", ".attn.out_proj")
+            k2 = k2.replace(".mlp_fc", ".mlp.c_fc")
+            k2 = k2.replace(".mlp_proj", ".mlp.c_proj")
+            suffix = _LEAF_MAP[leaf_str]
+            # in_proj stores weight/bias without the '.weight' dot form
+            if k2.endswith("attn.in_proj"):
+                k2 = k2 + ("_weight" if leaf_str == "kernel" else "_bias")
+                arr = np.asarray(t[k2])
+                if leaf_str == "kernel":
+                    arr = arr.T
+            else:
+                arr = np.asarray(t[f"{k2}.{suffix}"])
+                if leaf_str == "kernel" and arr.ndim == 2:
+                    arr = arr.T
+        if arr.shape != tuple(leaf.shape):
+            raise ValueError(f"{key}.{leaf_str}: {arr.shape} vs {tuple(leaf.shape)}")
+        leaves.append(jnp.asarray(arr, dtype or leaf.dtype))
+    return {"params": jax.tree_util.tree_unflatten(treedef, leaves)}
+
+
+def convert_blip_image_reward(flax_params, tensors, dtype=None):
+    """ImageReward-v1.0 state dict -> flax ImageReward params.
+
+    ImageReward names: blip.visual_encoder.{cls_token,pos_embed,
+    patch_embed.proj.*,blocks.N.{norm1,attn.qkv,attn.proj,norm2,
+    mlp.fc1,mlp.fc2}.*,norm.*}; blip.text_encoder.{embeddings.*,
+    encoder.layer.N.{attention.self.{query,key,value},attention.output.
+    {dense,LayerNorm},crossattention.self.*,crossattention.output.*,
+    intermediate.dense,output.{dense,LayerNorm}}.*}; mlp.layers.{0,2,4,6,8}.*
+    """
+    t = dict(tensors)
+    flat = jax.tree_util.tree_flatten_with_path(flax_params["params"])[0]
+    treedef = jax.tree_util.tree_structure(flax_params["params"])
+    mlp_map = {"mlp.0": "0", "mlp.1": "2", "mlp.2": "4", "mlp.3": "6",
+               "mlp.4": "8"}
+    leaves = []
+    for path, leaf in flat:
+        *mods, leaf_name = path
+        segs = [p.key if hasattr(p, "key") else str(p) for p in mods]
+        segs = [s for s in segs if s != "LayerNorm_0"]
+        leaf_str = leaf_name.key if hasattr(leaf_name, "key") else str(leaf_name)
+        key = ".".join(_module_to_diffusers(s) for s in segs)
+        suffix = _LEAF_MAP.get(leaf_str)
+
+        if key.startswith("visual_encoder"):
+            if leaf_str in ("cls_token", "pos_embed"):
+                arr = np.asarray(t[f"blip.visual_encoder.{leaf_str}"])
+            else:
+                k2 = key.replace("visual_encoder.", "blip.visual_encoder.")
+                k2 = k2.replace("patch_embed", "patch_embed.proj")
+                k2 = k2.replace(".qkv", ".attn.qkv").replace(".proj", ".attn.proj") \
+                    if ".blocks." in k2 and (".qkv" in k2 or k2.endswith(".proj")) else k2
+                k2 = k2.replace(".mlp_fc1", ".mlp.fc1").replace(".mlp_fc2", ".mlp.fc2")
+                arr = _fetch(t, k2, leaf_str, leaf.shape)
+                leaves.append(jnp.asarray(arr, dtype or leaf.dtype))
+                continue
+        elif key.startswith("text_encoder"):
+            k2 = key.replace("text_encoder.layer.", "text_encoder.encoder.layer.")
+            k2 = k2.replace("text_encoder.", "blip.text_encoder.")
+            k2 = k2.replace("word_embeddings", "embeddings.word_embeddings")
+            k2 = k2.replace("position_embeddings", "embeddings.position_embeddings")
+            k2 = k2.replace(".emb_ln", ".embeddings.LayerNorm")
+            k2 = k2.replace(".self_query", ".attention.self.query")
+            k2 = k2.replace(".self_key", ".attention.self.key")
+            k2 = k2.replace(".self_value", ".attention.self.value")
+            k2 = k2.replace(".self_output", ".attention.output.dense")
+            k2 = k2.replace(".self_ln", ".attention.output.LayerNorm")
+            k2 = k2.replace(".cross_query", ".crossattention.self.query")
+            k2 = k2.replace(".cross_key", ".crossattention.self.key")
+            k2 = k2.replace(".cross_value", ".crossattention.self.value")
+            k2 = k2.replace(".cross_output", ".crossattention.output.dense")
+            k2 = k2.replace(".cross_ln", ".crossattention.output.LayerNorm")
+            k2 = k2.replace(".intermediate", ".intermediate.dense")
+            k2 = k2.replace(".output_ln", ".output.LayerNorm")
+            if k2.endswith(".output"):
+                k2 = k2[: -len(".output")] + ".output.dense"
+            arr = _fetch(t, k2, leaf_str, leaf.shape)
+            leaves.append(jnp.asarray(arr, dtype or leaf.dtype))
+            continue
+        elif key.startswith("mlp."):
+            idx = mlp_map[key]
+            arr = _fetch(t, f"mlp.layers.{idx}", leaf_str, leaf.shape)
+            leaves.append(jnp.asarray(arr, dtype or leaf.dtype))
+            continue
+        else:
+            raise KeyError(f"unexpected ImageReward leaf {key}.{leaf_str}")
+        if arr.shape != tuple(leaf.shape):
+            raise ValueError(f"{key}.{leaf_str}: {arr.shape} vs {tuple(leaf.shape)}")
+        leaves.append(jnp.asarray(arr, dtype or leaf.dtype))
+    return {"params": jax.tree_util.tree_unflatten(treedef, leaves)}

@@ -43,6 +43,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("kind", choices=[
         "sd15", "dinov2s", "dinov2b", "dino_b16", "clip_b32", "inception",
+        "hps_text", "image_reward",
     ])
     ap.add_argument("src")
     ap.add_argument("out_dir")
@@ -96,6 +97,30 @@ def main():
         p = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
         params = W.convert_clip_vision(p, tensors)
         out = osp.join(args.out_dir, "clip_b32.msgpack")
+    elif args.kind == "hps_text":
+        import jax.numpy as jnp
+
+        from freefine_tpu.models.open_clip_text import (
+            OpenCLIPText, open_clip_text_h14,
+        )
+
+        model = OpenCLIPText(open_clip_text_h14())
+        p = model.init(jax.random.key(0), jnp.zeros((1, 77), jnp.int32))
+        prefix = "text." if any(k.startswith("text.") for k in tensors) else ""
+        params = W.convert_open_clip_text(p, tensors, prefix=prefix)
+        out = osp.join(args.out_dir, "hps_text.msgpack")
+    elif args.kind == "image_reward":
+        import jax.numpy as jnp
+
+        from freefine_tpu.models.blip import BlipConfig, ImageReward
+
+        model = ImageReward(BlipConfig())
+        p = model.init(
+            jax.random.key(0), jnp.zeros((1, 224, 224, 3)),
+            jnp.zeros((1, 35), jnp.int32), jnp.ones((1, 35), jnp.int32),
+        )
+        params = W.convert_blip_image_reward(p, tensors)
+        out = osp.join(args.out_dir, "image_reward.msgpack")
     else:  # inception
         import jax.numpy as jnp
 
