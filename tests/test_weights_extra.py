@@ -127,3 +127,48 @@ def test_blip_image_reward_roundtrip():
     for (pa, a), (pb, b) in zip(_flatten(params), _flatten(back)):
         assert pa == pb
         np.testing.assert_array_equal(np.asarray(a, np.float32), np.asarray(b))
+
+
+def test_dinov2_converter_roundtrip():
+    from freefine_tpu.models.dinov2 import DINOv2, DINOv2Config
+
+    cfg = DINOv2Config(dim=16, depth=2, heads=2, pos_embed_size=3)
+    model = DINOv2(cfg)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 28, 28, 3)))
+
+    tensors = {}
+    for path, leaf in _flatten(params["params"]):
+        *mods, leaf_name = path
+        segs = [p.key if hasattr(p, "key") else str(p) for p in mods
+                if (p.key if hasattr(p, "key") else str(p)) != "LayerNorm_0"]
+        leaf_str = leaf_name.key if hasattr(leaf_name, "key") else str(leaf_name)
+        key = ".".join(W._module_to_diffusers(s) for s in segs)
+        t = np.asarray(leaf, np.float32)
+        if leaf_str in ("cls_token", "pos_embed"):
+            tensors[leaf_str] = t
+            continue
+        if leaf_str == "gamma":
+            tensors[f"{key}.gamma"] = t
+            continue
+        k2 = key.replace("patch_embed", "patch_embed.proj")
+        k2 = k2.replace("mlp_fc1", "mlp.fc1").replace("mlp_fc2", "mlp.fc2")
+        if leaf_str == "kernel":
+            if t.ndim == 4:
+                t = t.transpose(3, 2, 0, 1)
+            elif t.ndim == 2:
+                t = t.T
+        tensors[f"{k2}.{W._LEAF_MAP[leaf_str]}"] = t
+
+    back = W.convert_dinov2(params, tensors)
+    for (pa, a), (pb, b) in zip(_flatten(params), _flatten(back)):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a, np.float32), np.asarray(b))
+
+    # DINOv1 compat: gamma tensors absent -> filled with ones
+    no_gamma = {k: v for k, v in tensors.items() if not k.endswith(".gamma")}
+    back2 = W.convert_dinov2(params, no_gamma)
+    for path, leaf in _flatten(back2):
+        leaf_name = path[-1]
+        n = leaf_name.key if hasattr(leaf_name, "key") else str(leaf_name)
+        if n == "gamma":
+            np.testing.assert_array_equal(np.asarray(leaf), 1.0)
