@@ -56,7 +56,7 @@ class ViTBlock(nn.Module):
     def __call__(self, x):
         b, n, c = x.shape
         d = c // self.heads
-        h = LayerNorm32(name="norm1")(x)
+        h = LayerNorm32(1e-6, name="norm1")(x)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(h)
         qkv = qkv.reshape(b, n, 3, self.heads, d).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0].astype(jnp.float32), qkv[1].astype(jnp.float32), qkv[2]
@@ -64,7 +64,7 @@ class ViTBlock(nn.Module):
         probs = jax.nn.softmax(logits, -1).astype(v.dtype)
         o = jnp.einsum("bhqk,bhkd->bhqd", probs, v).transpose(0, 2, 1, 3)
         x = x + nn.Dense(c, dtype=self.dtype, name="proj")(o.reshape(b, n, c))
-        h = LayerNorm32(name="norm2")(x)
+        h = LayerNorm32(1e-6, name="norm2")(x)
         h = nn.Dense(4 * c, dtype=self.dtype, name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=False)
         return x + nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(h)
@@ -92,7 +92,7 @@ class BlipViT(nn.Module):
         h = h + pos.astype(cfg.dtype)
         for i in range(cfg.vision_layers):
             h = ViTBlock(cfg.vision_heads, cfg.dtype, name=f"blocks_{i}")(h)
-        return LayerNorm32(name="norm")(h)
+        return LayerNorm32(1e-6, name="norm")(h)
 
 
 class BertLayer(nn.Module):
@@ -128,17 +128,17 @@ class BertLayer(nn.Module):
 
         h = mha(x, x, "self")
         h = nn.Dense(c, dtype=self.dtype, name="self_output")(h)
-        x = LayerNorm32(name="self_ln")(x + h)
+        x = LayerNorm32(1e-12, name="self_ln")(x + h)
 
         if enc is not None:
             h = mha(x, enc, "cross")
             h = nn.Dense(c, dtype=self.dtype, name="cross_output")(h)
-            x = LayerNorm32(name="cross_ln")(x + h)
+            x = LayerNorm32(1e-12, name="cross_ln")(x + h)
 
         h = nn.Dense(self.intermediate, dtype=self.dtype, name="intermediate")(x)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(c, dtype=self.dtype, name="output")(h)
-        return LayerNorm32(name="output_ln")(x + h)
+        return LayerNorm32(1e-12, name="output_ln")(x + h)
 
 
 class BertCrossEncoder(nn.Module):
@@ -152,7 +152,7 @@ class BertCrossEncoder(nn.Module):
                        name="word_embeddings")(input_ids)
         pos = nn.Embed(512, cfg.text_width, dtype=cfg.dtype,
                        name="position_embeddings")(jnp.arange(s)[None])
-        x = LayerNorm32(name="emb_ln")(tok + pos)
+        x = LayerNorm32(1e-12, name="emb_ln")(tok + pos)
         add_mask = (1.0 - attn_mask.astype(jnp.float32)) * -1e9
         for i in range(cfg.text_layers):
             x = BertLayer(

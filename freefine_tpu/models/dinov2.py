@@ -83,10 +83,10 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        h = LayerNorm32(name="norm1")(x)
+        h = LayerNorm32(1e-6, name="norm1")(x)
         h = Attention(self.heads, self.dtype, name="attn")(h)
         x = x + LayerScale(c, name="ls1")(h)
-        h = LayerNorm32(name="norm2")(x)
+        h = LayerNorm32(1e-6, name="norm2")(x)
         h = nn.Dense(c * self.mlp_ratio, dtype=self.dtype, name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(h)
@@ -135,7 +135,7 @@ class DINOv2(nn.Module):
         x = jnp.concatenate([jnp.tile(cls, (b, 1, 1)), tokens], axis=1)
         x = x + jnp.concatenate([cls_pos, patch_pos], axis=1).astype(cfg.dtype)
 
-        norm = LayerNorm32(name="norm")
+        norm = LayerNorm32(1e-6, name="norm")
         outputs: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
         take_from = cfg.depth - max(num_intermediate, 0)
         for i in range(cfg.depth):

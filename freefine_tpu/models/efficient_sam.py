@@ -62,7 +62,7 @@ class ViTBlock(nn.Module):
     def __call__(self, x):
         b, n, c = x.shape
         d = c // self.heads
-        h = LayerNorm32(name="norm1")(x)
+        h = LayerNorm32(1e-6, name="norm1")(x)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="attn_qkv")(h)
         qkv = qkv.reshape(b, n, 3, self.heads, d).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0].astype(jnp.float32), qkv[1].astype(jnp.float32), qkv[2]
@@ -70,7 +70,7 @@ class ViTBlock(nn.Module):
         probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         o = jnp.einsum("bhqk,bhkd->bhqd", probs, v).transpose(0, 2, 1, 3)
         x = x + nn.Dense(c, dtype=self.dtype, name="attn_proj")(o.reshape(b, n, c))
-        h = LayerNorm32(name="norm2")(x)
+        h = LayerNorm32(1e-6, name="norm2")(x)
         h = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(h)

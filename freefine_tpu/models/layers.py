@@ -157,12 +157,20 @@ class FeedForward(nn.Module):
 
 
 class LayerNorm32(nn.Module):
+    """LayerNorm computed in float32.
+
+    epsilon defaults to torch's nn.LayerNorm 1e-5 (the convention of every
+    torch reference model being re-hosted); ViT-family models override to
+    1e-6 and BERT to 1e-12."""
+
+    epsilon: float = 1e-5
+
     @nn.compact
     def __call__(self, x):
         dtype = x.dtype
-        out = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32)(
-            x.astype(jnp.float32)
-        )
+        out = nn.LayerNorm(
+            epsilon=self.epsilon, dtype=jnp.float32, param_dtype=jnp.float32
+        )(x.astype(jnp.float32))
         return out.astype(dtype)
 
 

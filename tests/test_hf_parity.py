@@ -1,0 +1,148 @@
+"""Architecture + converter parity vs HuggingFace torch models.
+
+No checkpoints are downloadable in this environment, but `transformers`
+can construct randomly-initialised torch models from configs.  These tests
+initialise a small HF model, convert its state dict with our tree-driven
+converters, and compare forward outputs — validating BOTH the Flax
+architecture and the weight mapping against the reference semantics.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from freefine_tpu import weights as W  # noqa: E402
+
+
+@pytest.mark.slow
+def test_clip_text_parity_vs_transformers():
+    from transformers import CLIPTextConfig as HFCfg
+    from transformers import CLIPTextModel
+
+    from freefine_tpu.config import CLIPTextConfig
+    from freefine_tpu.models.text_encoder import CLIPTextEncoder
+
+    hf_cfg = HFCfg(
+        vocab_size=99, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2,
+        max_position_embeddings=77, hidden_act="quick_gelu",
+    )
+    torch.manual_seed(0)
+    hf = CLIPTextModel(hf_cfg).eval()
+    tensors = {k: v.numpy() for k, v in hf.state_dict().items()}
+
+    cfg = CLIPTextConfig(
+        vocab_size=99, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=2, dtype=jnp.float32,
+    )
+    model = CLIPTextEncoder(cfg)
+    ids = np.random.default_rng(1).integers(0, 99, (2, 77)).astype(np.int32)
+    params = model.init(jax.random.key(0), jnp.asarray(ids))
+    params = {"params": W._convert_tree(
+        params["params"], tensors, key_rewrites=W._TEXT_REWRITES
+    )}
+
+    with torch.no_grad():
+        want = hf(torch.tensor(ids.astype(np.int64))).last_hidden_state.numpy()
+    got = np.asarray(model.apply(params, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_clip_vision_parity_vs_transformers():
+    from transformers import CLIPVisionConfig as HFCfg
+    from transformers import CLIPVisionModelWithProjection
+
+    from freefine_tpu.models.clip_image import CLIPImageEncoder, CLIPVisionConfig
+
+    hf_cfg = HFCfg(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, image_size=32, patch_size=16,
+        projection_dim=16, hidden_act="quick_gelu",
+    )
+    torch.manual_seed(0)
+    hf = CLIPVisionModelWithProjection(hf_cfg).eval()
+    tensors = {k: v.numpy() for k, v in hf.state_dict().items()}
+
+    cfg = CLIPVisionConfig(
+        image_size=32, patch_size=16, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=2, projection_dim=16, dtype=jnp.float32,
+    )
+    model = CLIPImageEncoder(cfg)
+    x = np.random.default_rng(2).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    params = model.init(jax.random.key(0), jnp.asarray(x))
+    params = W.convert_clip_vision(params, tensors)
+
+    with torch.no_grad():
+        want = hf(
+            torch.tensor(x.transpose(0, 3, 1, 2))
+        ).image_embeds.numpy()
+    got = np.asarray(model.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_dinov2_parity_vs_transformers():
+    from transformers import Dinov2Config as HFCfg
+    from transformers import Dinov2Model
+
+    from freefine_tpu.models.dinov2 import DINOv2, DINOv2Config
+
+    hf_cfg = HFCfg(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        mlp_ratio=4, image_size=28, patch_size=14, layerscale_value=1.0,
+    )
+    torch.manual_seed(0)
+    hf = Dinov2Model(hf_cfg).eval()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+
+    # map HF dinov2 naming -> torchhub dinov2 naming our converter expects
+    t = {}
+    t["cls_token"] = sd["embeddings.cls_token"]
+    t["pos_embed"] = sd["embeddings.position_embeddings"]
+    t["patch_embed.proj.weight"] = sd[
+        "embeddings.patch_embeddings.projection.weight"
+    ]
+    t["patch_embed.proj.bias"] = sd[
+        "embeddings.patch_embeddings.projection.bias"
+    ]
+    for i in range(2):
+        p = f"encoder.layer.{i}"
+        q = sd[f"{p}.attention.attention.query.weight"]
+        k = sd[f"{p}.attention.attention.key.weight"]
+        v = sd[f"{p}.attention.attention.value.weight"]
+        t[f"blocks.{i}.attn.qkv.weight"] = np.concatenate([q, k, v], 0)
+        qb = sd[f"{p}.attention.attention.query.bias"]
+        kb = sd[f"{p}.attention.attention.key.bias"]
+        vb = sd[f"{p}.attention.attention.value.bias"]
+        t[f"blocks.{i}.attn.qkv.bias"] = np.concatenate([qb, kb, vb], 0)
+        t[f"blocks.{i}.attn.proj.weight"] = sd[f"{p}.attention.output.dense.weight"]
+        t[f"blocks.{i}.attn.proj.bias"] = sd[f"{p}.attention.output.dense.bias"]
+        t[f"blocks.{i}.norm1.weight"] = sd[f"{p}.norm1.weight"]
+        t[f"blocks.{i}.norm1.bias"] = sd[f"{p}.norm1.bias"]
+        t[f"blocks.{i}.norm2.weight"] = sd[f"{p}.norm2.weight"]
+        t[f"blocks.{i}.norm2.bias"] = sd[f"{p}.norm2.bias"]
+        t[f"blocks.{i}.ls1.gamma"] = sd[f"{p}.layer_scale1.lambda1"]
+        t[f"blocks.{i}.ls2.gamma"] = sd[f"{p}.layer_scale2.lambda1"]
+        t[f"blocks.{i}.mlp.fc1.weight"] = sd[f"{p}.mlp.fc1.weight"]
+        t[f"blocks.{i}.mlp.fc1.bias"] = sd[f"{p}.mlp.fc1.bias"]
+        t[f"blocks.{i}.mlp.fc2.weight"] = sd[f"{p}.mlp.fc2.weight"]
+        t[f"blocks.{i}.mlp.fc2.bias"] = sd[f"{p}.mlp.fc2.bias"]
+    t["norm.weight"] = sd["layernorm.weight"]
+    t["norm.bias"] = sd["layernorm.bias"]
+
+    cfg = DINOv2Config(dim=32, depth=2, heads=2, pos_embed_size=2)
+    model = DINOv2(cfg)
+    x = np.random.default_rng(3).normal(size=(1, 28, 28, 3)).astype(np.float32)
+    params = model.init(jax.random.key(0), jnp.asarray(x))
+    params = W.convert_dinov2(params, t)
+
+    with torch.no_grad():
+        out = hf(torch.tensor(x.transpose(0, 3, 1, 2))).last_hidden_state.numpy()
+    patch, cls = model.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(cls), out[:, 0], atol=3e-5)
+    np.testing.assert_allclose(np.asarray(patch), out[:, 1:], atol=3e-5)
