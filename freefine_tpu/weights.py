@@ -476,3 +476,156 @@ def convert_blip_image_reward(flax_params, tensors, dtype=None):
             raise ValueError(f"{key}.{leaf_str}: {arr.shape} vs {tuple(leaf.shape)}")
         leaves.append(jnp.asarray(arr, dtype or leaf.dtype))
     return {"params": jax.tree_util.tree_unflatten(treedef, leaves)}
+
+
+# -- Depth-Anything (HF transformers format) ------------------------------------
+
+
+def hf_dinov2_to_torchhub(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict[str, np.ndarray]:
+    """Rename a transformers Dinov2Model/Dinov2Backbone state dict into the
+    torchhub facebookresearch/dinov2 naming `convert_dinov2` expects."""
+    t: Dict[str, np.ndarray] = {}
+    g = lambda k: np.asarray(sd[prefix + k])
+    t["cls_token"] = g("embeddings.cls_token")
+    t["pos_embed"] = g("embeddings.position_embeddings")
+    t["patch_embed.proj.weight"] = g("embeddings.patch_embeddings.projection.weight")
+    t["patch_embed.proj.bias"] = g("embeddings.patch_embeddings.projection.bias")
+    i = 0
+    while f"{prefix}encoder.layer.{i}.norm1.weight" in sd:
+        p = f"encoder.layer.{i}"
+        t[f"blocks.{i}.attn.qkv.weight"] = np.concatenate(
+            [g(f"{p}.attention.attention.{n}.weight") for n in ("query", "key", "value")], 0
+        )
+        t[f"blocks.{i}.attn.qkv.bias"] = np.concatenate(
+            [g(f"{p}.attention.attention.{n}.bias") for n in ("query", "key", "value")], 0
+        )
+        t[f"blocks.{i}.attn.proj.weight"] = g(f"{p}.attention.output.dense.weight")
+        t[f"blocks.{i}.attn.proj.bias"] = g(f"{p}.attention.output.dense.bias")
+        for n in ("norm1", "norm2"):
+            t[f"blocks.{i}.{n}.weight"] = g(f"{p}.{n}.weight")
+            t[f"blocks.{i}.{n}.bias"] = g(f"{p}.{n}.bias")
+        t[f"blocks.{i}.ls1.gamma"] = g(f"{p}.layer_scale1.lambda1")
+        t[f"blocks.{i}.ls2.gamma"] = g(f"{p}.layer_scale2.lambda1")
+        t[f"blocks.{i}.mlp.fc1.weight"] = g(f"{p}.mlp.fc1.weight")
+        t[f"blocks.{i}.mlp.fc1.bias"] = g(f"{p}.mlp.fc1.bias")
+        t[f"blocks.{i}.mlp.fc2.weight"] = g(f"{p}.mlp.fc2.weight")
+        t[f"blocks.{i}.mlp.fc2.bias"] = g(f"{p}.mlp.fc2.bias")
+        i += 1
+    if prefix + "layernorm.weight" in sd:
+        t["norm.weight"] = g("layernorm.weight")
+        t["norm.bias"] = g("layernorm.bias")
+    return t
+
+
+def convert_depth_anything_hf(flax_params, tensors, dtype=None):
+    """transformers DepthAnythingForDepthEstimation state dict -> flax
+    `models.depth_anything.DepthAnything` params.
+
+    Naming map: backbone.* -> pretrained.* (via hf_dinov2_to_torchhub);
+    neck.reassemble_stage.layers.i.{projection,resize} -> depth_head.
+    {projects_i,resize_i}; neck.convs.i -> depth_head.layer{i+1}_rn;
+    neck.fusion_stage.layers.j -> depth_head.refinenet{4-j}; head.conv{1,2,3}
+    -> depth_head.output_conv{1,2_0,2_2}.
+    """
+    backbone_t = hf_dinov2_to_torchhub(tensors, "backbone.")
+    # HF Dinov2Backbone has no final layernorm when apply_layernorm uses
+    # hidden-state norms; fall back to ones/zeros if absent.
+    out = {}
+
+    pre = flax_params["params"]["pretrained"]
+    # the backbone may lack norm.* (Dinov2Backbone) — synthesize identity
+    flat_pre = jax.tree_util.tree_flatten_with_path({"norm": pre.get("norm", {})})[0]
+    if "norm.weight" not in backbone_t:
+        for path, leaf in flat_pre:
+            leaf_str = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            if leaf_str == "scale":
+                backbone_t["norm.weight"] = np.ones(leaf.shape, np.float32)
+            elif leaf_str == "bias":
+                backbone_t["norm.bias"] = np.zeros(leaf.shape, np.float32)
+    out["pretrained"] = convert_dinov2({"params": pre}, backbone_t, dtype)["params"]
+
+    head = flax_params["params"]["depth_head"]
+    fusion_map = {"refinenet4": 0, "refinenet3": 1, "refinenet2": 2, "refinenet1": 3}
+
+    def conv(key, leaf, transpose_deconv=False):
+        t = np.asarray(tensors[key])
+        if t.ndim == 4:
+            if transpose_deconv:
+                # torch ConvTranspose2d [in, out, kh, kw] -> flax [kh, kw, in, out]
+                t = t.transpose(2, 3, 0, 1)
+            else:
+                t = t.transpose(2, 3, 1, 0)
+        if t.shape != tuple(leaf.shape):
+            raise ValueError(f"{key}: {t.shape} vs {tuple(leaf.shape)}")
+        return jnp.asarray(t, dtype or leaf.dtype)
+
+    new_head = {}
+    for name, sub in head.items():
+        if name.startswith("projects_"):
+            i = name.split("_")[1]
+            new_head[name] = {
+                "kernel": conv(f"neck.reassemble_stage.layers.{i}.projection.weight",
+                               sub["kernel"]),
+                "bias": conv(f"neck.reassemble_stage.layers.{i}.projection.bias",
+                             sub["bias"]),
+            }
+        elif name.startswith("resize_"):
+            i = name.split("_")[1]
+            deconv = i in ("0", "1")
+            new_head[name] = {
+                "kernel": conv(f"neck.reassemble_stage.layers.{i}.resize.weight",
+                               sub["kernel"], transpose_deconv=deconv),
+                "bias": conv(f"neck.reassemble_stage.layers.{i}.resize.bias",
+                             sub["bias"]),
+            }
+        elif name.endswith("_rn"):
+            i = int(name[len("layer"):-len("_rn")]) - 1
+            new_head[name] = {
+                "kernel": conv(f"neck.convs.{i}.weight", sub["kernel"]),
+            }
+        elif name.startswith("refinenet"):
+            j = fusion_map[name]
+            base = f"neck.fusion_stage.layers.{j}"
+            blk = {}
+            for rname, rtorch in (("resConfUnit1", "residual_layer1"),
+                                  ("resConfUnit2", "residual_layer2")):
+                if rname not in sub:
+                    continue
+                blk[rname] = {
+                    "conv1": {
+                        "kernel": conv(f"{base}.{rtorch}.convolution1.weight",
+                                       sub[rname]["conv1"]["kernel"]),
+                        "bias": conv(f"{base}.{rtorch}.convolution1.bias",
+                                     sub[rname]["conv1"]["bias"]),
+                    },
+                    "conv2": {
+                        "kernel": conv(f"{base}.{rtorch}.convolution2.weight",
+                                       sub[rname]["conv2"]["kernel"]),
+                        "bias": conv(f"{base}.{rtorch}.convolution2.bias",
+                                     sub[rname]["conv2"]["bias"]),
+                    },
+                }
+            blk["out_conv"] = {
+                "kernel": conv(f"{base}.projection.weight", sub["out_conv"]["kernel"]),
+                "bias": conv(f"{base}.projection.bias", sub["out_conv"]["bias"]),
+            }
+            new_head[name] = blk
+        elif name == "output_conv1":
+            new_head[name] = {
+                "kernel": conv("head.conv1.weight", sub["kernel"]),
+                "bias": conv("head.conv1.bias", sub["bias"]),
+            }
+        elif name == "output_conv2_0":
+            new_head[name] = {
+                "kernel": conv("head.conv2.weight", sub["kernel"]),
+                "bias": conv("head.conv2.bias", sub["bias"]),
+            }
+        elif name == "output_conv2_2":
+            new_head[name] = {
+                "kernel": conv("head.conv3.weight", sub["kernel"]),
+                "bias": conv("head.conv3.bias", sub["bias"]),
+            }
+        else:
+            raise KeyError(f"unexpected depth head module {name}")
+    out["depth_head"] = new_head
+    return {"params": out}

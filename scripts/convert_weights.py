@@ -43,7 +43,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("kind", choices=[
         "sd15", "dinov2s", "dinov2b", "dino_b16", "clip_b32", "inception",
-        "hps_text", "image_reward",
+        "hps_text", "image_reward", "depth_anything",
     ])
     ap.add_argument("src")
     ap.add_argument("out_dir")
@@ -97,6 +97,17 @@ def main():
         p = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
         params = W.convert_clip_vision(p, tensors)
         out = osp.join(args.out_dir, "clip_b32.msgpack")
+    elif args.kind == "depth_anything":
+        import jax.numpy as jnp
+
+        from freefine_tpu.models.depth_anything import (
+            DepthAnything, depth_anything_vits,
+        )
+
+        model = DepthAnything(depth_anything_vits())
+        p = model.init(jax.random.key(0), jnp.zeros((1, 518, 518, 3)))
+        params = W.convert_depth_anything_hf(p, tensors)
+        out = osp.join(args.out_dir, "depth_anything_vits.msgpack")
     elif args.kind == "hps_text":
         import jax.numpy as jnp
 

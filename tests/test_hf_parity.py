@@ -146,3 +146,46 @@ def test_dinov2_parity_vs_transformers():
     patch, cls = model.apply(params, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(cls), out[:, 0], atol=3e-5)
     np.testing.assert_allclose(np.asarray(patch), out[:, 1:], atol=3e-5)
+
+
+@pytest.mark.slow
+def test_depth_anything_parity_vs_transformers():
+    from transformers import (
+        DepthAnythingConfig as HFDAConfig,
+        DepthAnythingForDepthEstimation,
+        Dinov2Config as HFDinoCfg,
+    )
+
+    from freefine_tpu.models.depth_anything import DepthAnything, DepthAnythingConfig
+    from freefine_tpu.models.dinov2 import DINOv2Config
+
+    hf_cfg = HFDAConfig(
+        backbone_config=HFDinoCfg(
+            hidden_size=32, num_hidden_layers=4, num_attention_heads=2,
+            image_size=28, patch_size=14, layerscale_value=1.0,
+            out_indices=[1, 2, 3, 4], apply_layernorm=True,
+            reshape_hidden_states=False,
+        ),
+        reassemble_hidden_size=32,
+        fusion_hidden_size=16,
+        neck_hidden_sizes=[8, 16, 16, 32],
+        patch_size=14,
+    )
+    torch.manual_seed(0)
+    hf = DepthAnythingForDepthEstimation(hf_cfg).eval()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+
+    cfg = DepthAnythingConfig(
+        backbone=DINOv2Config(dim=32, depth=4, heads=2, pos_embed_size=2),
+        features=16,
+        out_channels=(8, 16, 16, 32),
+    )
+    model = DepthAnything(cfg)
+    x = np.random.default_rng(5).normal(size=(1, 28, 28, 3)).astype(np.float32)
+    params = model.init(jax.random.key(0), jnp.asarray(x))
+    params = W.convert_depth_anything_hf(params, sd)
+
+    with torch.no_grad():
+        want = hf(torch.tensor(x.transpose(0, 3, 1, 2))).predicted_depth.numpy()
+    got = np.asarray(model.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
