@@ -189,3 +189,45 @@ def test_depth_anything_parity_vs_transformers():
         want = hf(torch.tensor(x.transpose(0, 3, 1, 2))).predicted_depth.numpy()
     got = np.asarray(model.apply(params, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_clip_tokenizer_parity_vs_transformers(tmp_path):
+    """Our BPE must produce identical ids to transformers.CLIPTokenizer for
+    the same vocab/merges files."""
+    import json
+
+    from transformers import CLIPTokenizer as HFTok
+
+    from freefine_tpu.models.tokenizer import CLIPTokenizer, bytes_to_unicode
+
+    byte_vocab = list(bytes_to_unicode().values())
+    merges = [
+        ("t", "h"), ("th", "e</w>"), ("c", "a"), ("ca", "t</w>"),
+        ("d", "o"), ("do", "g</w>"), ("a", "n"), ("an", "d</w>"),
+        ("r", "e"), ("re", "d</w>"),
+    ]
+    tokens = byte_vocab + [v + "</w>" for v in byte_vocab]
+    tokens += ["".join(m) for m in merges]
+    tokens += ["<|startoftext|>", "<|endoftext|>"]
+    vocab = {t: i for i, t in enumerate(tokens)}
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(" ".join(m) for m in merges) + "\n"
+    )
+
+    hf = HFTok(str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt"))
+    ours = CLIPTokenizer.from_pretrained(str(tmp_path), max_length=77)
+
+    prompts = [
+        "the cat and the dog",
+        "a red cat, the dog!",
+        "The Cat AND the red dog...",
+        "cathedral dogma red123",
+        "",
+    ]
+    for p in prompts:
+        want = hf(p, padding="max_length", max_length=77,
+                  truncation=True)["input_ids"]
+        got = ours.encode(p).tolist()
+        assert got == want, (p, got[:12], want[:12])
