@@ -629,3 +629,161 @@ def convert_depth_anything_hf(flax_params, tensors, dtype=None):
             raise KeyError(f"unexpected depth head module {name}")
     out["depth_head"] = new_head
     return {"params": out}
+
+
+# -- single-file LDM checkpoints (v1-5-pruned.safetensors style) ----------------
+
+_LDM_UNET_PREFIX = "model.diffusion_model."
+_LDM_VAE_PREFIX = "first_stage_model."
+_LDM_TEXT_PREFIX = "cond_stage_model.transformer."
+
+
+def _ldm_unet_to_diffusers(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Rename LDM UNet keys (model.diffusion_model.*) to diffusers naming.
+
+    SD-1.5 structure: input_blocks 0..11 (conv_in at 0; per level 2 res[+attn]
+    then a downsample block), middle_block (res, attn, res), output_blocks
+    0..11 (3 per level, upsample conv appended on the last of each level but
+    the final), time_embed -> time_embedding.
+    """
+    out: Dict[str, np.ndarray] = {}
+
+    def put(dst, src):
+        out[dst] = sd[_LDM_UNET_PREFIX + src]
+
+    def copy_res(dst_prefix, src_prefix):
+        ren = {
+            "in_layers.0": "norm1", "in_layers.2": "conv1",
+            "emb_layers.1": "time_emb_proj",
+            "out_layers.0": "norm2", "out_layers.3": "conv2",
+            "skip_connection": "conv_shortcut",
+        }
+        for s, d in ren.items():
+            for leaf in ("weight", "bias"):
+                k = f"{_LDM_UNET_PREFIX}{src_prefix}.{s}.{leaf}"
+                if k in sd:
+                    out[f"{dst_prefix}.{d}.{leaf}"] = sd[k]
+
+    def copy_attn(dst_prefix, src_prefix):
+        for k in list(sd):
+            if k.startswith(f"{_LDM_UNET_PREFIX}{src_prefix}."):
+                suffix = k[len(f"{_LDM_UNET_PREFIX}{src_prefix}.") :]
+                out[f"{dst_prefix}.{suffix}"] = sd[k]
+
+    for leaf in ("weight", "bias"):
+        put(f"conv_in.{leaf}", f"input_blocks.0.0.{leaf}")
+        put(f"time_embedding.linear_1.{leaf}", f"time_embed.0.{leaf}")
+        put(f"time_embedding.linear_2.{leaf}", f"time_embed.2.{leaf}")
+        put(f"conv_norm_out.{leaf}", f"out.0.{leaf}")
+        put(f"conv_out.{leaf}", f"out.2.{leaf}")
+
+    # down: input_blocks i = 1..11; every 3rd (3, 6, 9) ends with a downsample
+    for i in range(1, 12):
+        level, j = (i - 1) // 3, (i - 1) % 3
+        if j == 2:  # downsampler
+            for leaf in ("weight", "bias"):
+                k = f"{_LDM_UNET_PREFIX}input_blocks.{i}.0.op.{leaf}"
+                if k in sd:
+                    out[f"down_blocks.{level}.downsamplers.0.conv.{leaf}"] = sd[k]
+            continue
+        copy_res(f"down_blocks.{level}.resnets.{j}", f"input_blocks.{i}.0")
+        copy_attn(f"down_blocks.{level}.attentions.{j}", f"input_blocks.{i}.1")
+
+    copy_res("mid_block.resnets.0", "middle_block.0")
+    copy_attn("mid_block.attentions.0", "middle_block.1")
+    copy_res("mid_block.resnets.1", "middle_block.2")
+
+    # up: output_blocks i = 0..11, 3 per level; upsampler on i = 2, 5, 8
+    for i in range(12):
+        level, j = i // 3, i % 3
+        copy_res(f"up_blocks.{level}.resnets.{j}", f"output_blocks.{i}.0")
+        # attention is module 1 unless this block only has an upsampler
+        if f"{_LDM_UNET_PREFIX}output_blocks.{i}.1.transformer_blocks.0.attn1.to_q.weight" in sd:
+            copy_attn(f"up_blocks.{level}.attentions.{j}", f"output_blocks.{i}.1")
+        for mod in (1, 2):
+            k = f"{_LDM_UNET_PREFIX}output_blocks.{i}.{mod}.conv.weight"
+            if k in sd:
+                out[f"up_blocks.{level}.upsamplers.0.conv.weight"] = sd[k]
+                out[f"up_blocks.{level}.upsamplers.0.conv.bias"] = sd[
+                    f"{_LDM_UNET_PREFIX}output_blocks.{i}.{mod}.conv.bias"
+                ]
+    return out
+
+
+def _ldm_vae_to_diffusers(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """first_stage_model.* -> diffusers AutoencoderKL naming."""
+    out: Dict[str, np.ndarray] = {}
+    ren_res = {"norm1": "norm1", "conv1": "conv1", "norm2": "norm2",
+               "conv2": "conv2", "nin_shortcut": "conv_shortcut"}
+    for k in list(sd):
+        if not k.startswith(_LDM_VAE_PREFIX):
+            continue
+        s = k[len(_LDM_VAE_PREFIX):]
+        d = None
+        if s.startswith("encoder.down."):
+            parts = s.split(".")
+            lvl, kind = parts[2], parts[3]
+            if kind == "block":
+                sub = ren_res[parts[5]]
+                d = f"encoder.down_blocks.{lvl}.resnets.{parts[4]}.{sub}.{parts[6]}"
+            elif kind == "downsample":
+                d = f"encoder.down_blocks.{lvl}.downsamplers.0.conv.{parts[5]}"
+        elif s.startswith("decoder.up."):
+            parts = s.split(".")
+            lvl = 3 - int(parts[2])  # LDM numbers decoder ups bottom-up
+            kind = parts[3]
+            if kind == "block":
+                sub = ren_res[parts[5]]
+                d = f"decoder.up_blocks.{lvl}.resnets.{parts[4]}.{sub}.{parts[6]}"
+            elif kind == "upsample":
+                d = f"decoder.up_blocks.{lvl}.upsamplers.0.conv.{parts[5]}"
+        elif ".mid.block_" in s:
+            side, rest = s.split(".", 1)
+            n = "0" if "block_1" in rest else "1"
+            sub = ren_res[rest.split(".")[2]]
+            d = f"{side}.mid_block.resnets.{n}.{sub}.{rest.split('.')[3]}"
+        elif ".mid.attn_1." in s:
+            side = s.split(".", 1)[0]
+            name = s.split(".")[3]
+            leaf = s.split(".")[4]
+            attn_ren = {"norm": "group_norm", "q": "to_q", "k": "to_k",
+                        "v": "to_v", "proj_out": "to_out.0"}
+            d = f"{side}.mid_block.attentions.0.{attn_ren[name]}.{leaf}"
+        elif s.startswith(("encoder.norm_out", "decoder.norm_out")):
+            d = s.replace("norm_out", "conv_norm_out")
+        elif s.startswith(("encoder.conv_in", "encoder.conv_out",
+                           "decoder.conv_in", "decoder.conv_out",
+                           "quant_conv", "post_quant_conv")):
+            d = s
+        if d is not None:
+            out[d] = sd[k]
+    return out
+
+
+def load_sd15_single_file(pipe, ckpt_path: str, dtype=None) -> dict:
+    """Convert a single-file LDM checkpoint (v1-5-pruned.safetensors /
+    sd-v1-5.ckpt layout) into freefine_tpu params."""
+    if ckpt_path.endswith(".safetensors"):
+        assert safe_open is not None
+        sd: Dict[str, np.ndarray] = {}
+        with safe_open(ckpt_path, framework="np") as f:
+            for k in f.keys():
+                sd[k] = f.get_tensor(k)
+    else:
+        import torch
+
+        raw = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+        raw = raw.get("state_dict", raw)
+        sd = {k: v.numpy() for k, v in raw.items()}
+
+    unet_t = _ldm_unet_to_diffusers(sd)
+    vae_t = _ldm_vae_to_diffusers(sd)
+    text_t = {
+        k[len(_LDM_TEXT_PREFIX):]: np.asarray(v)
+        for k, v in sd.items() if k.startswith(_LDM_TEXT_PREFIX)
+    }
+    return {
+        "unet": convert_unet(pipe.params["unet"], unet_t, dtype),
+        "vae": convert_vae(pipe.params["vae"], vae_t, dtype),
+        "text": convert_text_encoder(pipe.params["text"], text_t, dtype),
+    }

@@ -172,3 +172,139 @@ def test_dinov2_converter_roundtrip():
         n = leaf_name.key if hasattr(leaf_name, "key") else str(leaf_name)
         if n == "gamma":
             np.testing.assert_array_equal(np.asarray(leaf), 1.0)
+
+
+def test_ldm_single_file_conversion(tmp_path):
+    """Round-trip the single-file LDM layout: diffusers-style tensors from
+    the tiny pipeline -> renamed into LDM keys -> loaded via
+    load_sd15_single_file -> identical params."""
+    from freefine_tpu.config import tiny_pipeline_config
+    from freefine_tpu.pipeline import FreeFine
+    from tests.test_weights import _to_torch_layout
+
+    pipe = FreeFine(config=tiny_pipeline_config(), init_random=True)
+    unet_d = _to_torch_layout(pipe.params["unet"], W._UNET_REWRITES)
+    vae_d = _to_torch_layout(pipe.params["vae"], (
+        (r"\.mid\.resnets", ".mid_block.resnets"),
+        (r"\.mid\.attentions", ".mid_block.attentions"),
+        (r"^encoder\.quant_conv$", "quant_conv"),
+        (r"^decoder\.post_quant_conv$", "post_quant_conv"),
+        (r"attentions\.0\.norm$", "attentions.0.group_norm"),
+    ))
+    text_d = _to_torch_layout(pipe.params["text"], W._TEXT_REWRITES)
+
+    sd = {}
+    # ---- UNet diffusers -> LDM ----
+    res_ren = {"norm1": "in_layers.0", "conv1": "in_layers.2",
+               "time_emb_proj": "emb_layers.1", "norm2": "out_layers.0",
+               "conv2": "out_layers.3", "conv_shortcut": "skip_connection"}
+    for k, v in unet_d.items():
+        parts = k.split(".")
+        if k.startswith("conv_in."):
+            sd[f"model.diffusion_model.input_blocks.0.0.{parts[-1]}"] = v
+        elif k.startswith("time_embedding.linear_1"):
+            sd[f"model.diffusion_model.time_embed.0.{parts[-1]}"] = v
+        elif k.startswith("time_embedding.linear_2"):
+            sd[f"model.diffusion_model.time_embed.2.{parts[-1]}"] = v
+        elif k.startswith("conv_norm_out"):
+            sd[f"model.diffusion_model.out.0.{parts[-1]}"] = v
+        elif k.startswith("conv_out"):
+            sd[f"model.diffusion_model.out.2.{parts[-1]}"] = v
+        elif k.startswith("down_blocks."):
+            lvl, kind, j = int(parts[1]), parts[2], int(parts[3])
+            if kind == "resnets":
+                i = 1 + lvl * 3 + j
+                sub = res_ren[parts[4]]
+                sd[f"model.diffusion_model.input_blocks.{i}.0.{sub}.{parts[-1]}"] = v
+            elif kind == "attentions":
+                i = 1 + lvl * 3 + j
+                rest = ".".join(parts[4:])
+                sd[f"model.diffusion_model.input_blocks.{i}.1.{rest}"] = v
+            else:  # downsamplers
+                i = 1 + lvl * 3 + 2
+                sd[f"model.diffusion_model.input_blocks.{i}.0.op.{parts[-1]}"] = v
+        elif k.startswith("mid_block.resnets.0"):
+            sd[f"model.diffusion_model.middle_block.0.{res_ren[parts[3]]}.{parts[-1]}"] = v
+        elif k.startswith("mid_block.resnets.1"):
+            sd[f"model.diffusion_model.middle_block.2.{res_ren[parts[3]]}.{parts[-1]}"] = v
+        elif k.startswith("mid_block.attentions.0"):
+            rest = ".".join(parts[3:])
+            sd[f"model.diffusion_model.middle_block.1.{rest}"] = v
+        elif k.startswith("up_blocks."):
+            lvl, kind, j = int(parts[1]), parts[2], int(parts[3])
+            if kind == "resnets":
+                i = lvl * 3 + j
+                sub = res_ren[parts[4]]
+                sd[f"model.diffusion_model.output_blocks.{i}.0.{sub}.{parts[-1]}"] = v
+            elif kind == "attentions":
+                i = lvl * 3 + j
+                rest = ".".join(parts[4:])
+                sd[f"model.diffusion_model.output_blocks.{i}.1.{rest}"] = v
+            else:  # upsamplers: on block i = lvl*3 + 2; module 2 if attn present
+                i = lvl * 3 + 2
+                has_attn = any(
+                    kk.startswith(f"up_blocks.{lvl}.attentions.") for kk in unet_d
+                )
+                mod = 2 if has_attn else 1
+                sd[f"model.diffusion_model.output_blocks.{i}.{mod}.conv.{parts[-1]}"] = v
+        else:
+            raise KeyError(k)
+    # ---- VAE diffusers -> LDM ----
+    vres = {"norm1": "norm1", "conv1": "conv1", "norm2": "norm2",
+            "conv2": "conv2", "conv_shortcut": "nin_shortcut"}
+    vattn = {"group_norm": "norm", "to_q": "q", "to_k": "k", "to_v": "v",
+             "to_out.0": "proj_out"}
+    for k, v in vae_d.items():
+        parts = k.split(".")
+        if k.startswith("encoder.down_blocks."):
+            lvl, kind = parts[2], parts[3]
+            if kind == "resnets":
+                sd[f"first_stage_model.encoder.down.{lvl}.block.{parts[4]}."
+                   f"{vres[parts[5]]}.{parts[-1]}"] = v
+            else:
+                sd[f"first_stage_model.encoder.down.{lvl}.downsample.conv.{parts[-1]}"] = v
+        elif k.startswith("decoder.up_blocks."):
+            lvl, kind = 3 - int(parts[2]), parts[3]
+            if kind == "resnets":
+                sd[f"first_stage_model.decoder.up.{lvl}.block.{parts[4]}."
+                   f"{vres[parts[5]]}.{parts[-1]}"] = v
+            else:
+                sd[f"first_stage_model.decoder.up.{lvl}.upsample.conv.{parts[-1]}"] = v
+        elif ".mid_block.resnets." in k:
+            side = parts[0]
+            n = "block_1" if parts[3] == "0" else "block_2"
+            sd[f"first_stage_model.{side}.mid.{n}.{vres[parts[4]]}.{parts[-1]}"] = v
+        elif ".mid_block.attentions." in k:
+            side = parts[0]
+            name = ".".join(parts[4:-1])
+            sd[f"first_stage_model.{side}.mid.attn_1.{vattn[name]}.{parts[-1]}"] = v
+        elif k.startswith(("encoder.conv_norm_out", "decoder.conv_norm_out")):
+            sd[f"first_stage_model.{k.replace('conv_norm_out', 'norm_out')}"] = v
+        elif k.startswith(("encoder.conv_in", "encoder.conv_out",
+                           "decoder.conv_in", "decoder.conv_out",
+                           "quant_conv", "post_quant_conv")):
+            sd[f"first_stage_model.{k}"] = v
+        else:
+            raise KeyError(k)
+    # ---- text ----
+    for k, v in text_d.items():
+        sd[f"cond_stage_model.transformer.{k}"] = v
+
+    # run the load path's internals directly on the in-memory dict
+    unet_t = W._ldm_unet_to_diffusers(sd)
+    vae_t = W._ldm_vae_to_diffusers(sd)
+    text_t = {k[len(W._LDM_TEXT_PREFIX):]: np.asarray(v)
+              for k, v in sd.items() if k.startswith(W._LDM_TEXT_PREFIX)}
+    params = {
+        "unet": W.convert_unet(pipe.params["unet"], unet_t),
+        "vae": W.convert_vae(pipe.params["vae"], vae_t),
+        "text": W.convert_text_encoder(pipe.params["text"], text_t),
+    }
+    for name in ("unet", "vae", "text"):
+        for (pa, a), (pb, b) in zip(
+            _flatten(pipe.params[name]), _flatten(params[name])
+        ):
+            assert pa == pb
+            np.testing.assert_array_equal(
+                np.asarray(a, np.float32), np.asarray(b, np.float32)
+            )
