@@ -85,7 +85,7 @@ def run_geobench_inference(
     dst_base: str,
     task: str = "2d",
     num_step: int = 50,
-    start_step: int = 35,
+    start_step: Optional[int] = None,
     guidance_scale: float = 7.5,
     eta: float = 1.0,
     seed: int = 42,
@@ -101,8 +101,14 @@ def run_geobench_inference(
     over the blended inpainted background, then calls `pipe.generation`
     with `use_auto_draw=True, reduce_inp_artifacts=True`.
 
+    For task="3d" the 3D-depth harness conventions apply
+    (freefine_batch_infer_3d_depth.py:75-197): precomputed coarse inputs,
+    draw/mesh masks, default start_step 15.
+
     Returns the merged results dict on process 0 (None elsewhere).
     """
+    if start_step is None:
+        start_step = 15 if task == "3d" else 35
     pidx, pcount = maybe_initialize_distributed()
     gen_dir = osp.join(dst_base, f"Geo-Bench-{task.upper()}",
                        f"Gen_results_freefine_{task}")
@@ -118,32 +124,61 @@ def run_geobench_inference(
     results: List[Dict] = []
     t0 = time.time()
     for i, case in enumerate(my_cases):
+        case_t0 = time.time()
         da_n, ins_id, edit_ins = case["da_n"], case["ins_id"], case["edit_ins"]
         ori_img = read_image(ds.resolve(case["ori_img_path"]))
         ori_mask = read_mask(ds.resolve(case["ori_mask_path"]))
-        if inp_img_dir is not None:
-            inp_bg = read_image(
-                osp.join(inp_img_dir, da_n, ins_id, "inp_img.png")
+        if task == "3d":
+            # 3D harness (freefine_batch_infer_3d_depth.py:118-162): reads
+            # precomputed coarse3d images + draw/mesh masks; start_step 15,
+            # use_auto_draw off with the user draw mask.
+            coarse = read_image(
+                ds.resolve(
+                    case.get(
+                        "coarse_input_path_0",
+                        osp.join(dst_base, "coarse3d_depth_anything",
+                                 da_n, ins_id, f"{edit_ins}.png"),
+                    )
+                )
+            )
+            target_mask = read_mask(ds.resolve(case["target_mask_0"]))
+            draw_mask = read_mask(ds.resolve(case["draw_mask"]))
+            out = pipe.generation(
+                ori_img, ori_mask, coarse, target_mask,
+                case.get("edit_prompt", ""),
+                guidance_scale=guidance_scale, eta=eta,
+                num_step=num_step, start_step=start_step,
+                end_step=10, method_type="tca",
+                draw_mask=draw_mask, use_auto_draw=False,
+                seed=seed,
             )
         else:
-            inp_bg = ori_img
-        coarse, target_mask, _ = re_edit_2d(
-            ori_img, ori_mask, case["edit_param"], inp_bg
-        )
-        out = pipe.generation(
-            ori_img, ori_mask, coarse, target_mask,
-            case.get("edit_prompt", ""),
-            guidance_scale=guidance_scale, eta=eta,
-            num_step=num_step, start_step=start_step,
-            end_step=10, method_type="tca",
-            use_auto_draw=True,
-            cons_area=np.zeros_like(ori_mask),
-            reduce_inp_artifacts=True,
-            seed=seed,
-        )
+            if inp_img_dir is not None:
+                inp_bg = read_image(
+                    osp.join(inp_img_dir, da_n, ins_id, "inp_img.png")
+                )
+            else:
+                inp_bg = ori_img
+            coarse, target_mask, _ = re_edit_2d(
+                ori_img, ori_mask, case["edit_param"], inp_bg
+            )
+            out = pipe.generation(
+                ori_img, ori_mask, coarse, target_mask,
+                case.get("edit_prompt", ""),
+                guidance_scale=guidance_scale, eta=eta,
+                num_step=num_step, start_step=start_step,
+                end_step=10, method_type="tca",
+                use_auto_draw=True,
+                cons_area=np.zeros_like(ori_mask),
+                reduce_inp_artifacts=True,
+                seed=seed,
+            )
         path = ds.output_path(da_n, ins_id, edit_ins)
         save_image(out, path)
-        results.append({**case, "gen_img_path": path})
+        results.append({
+            **case, "gen_img_path": path,
+            "edit_seconds": round(time.time() - case_t0, 3),
+        })
         if (i + 1) % 10 == 0:
             rate = (i + 1) / (time.time() - t0) * 60
             progress(f"[proc {pidx}] {i+1}/{len(my_cases)} ({rate:.1f} edits/min)")

@@ -122,3 +122,42 @@ def test_harness_end_to_end(tmp_path):
     ]
     assert len(paths) == 2 and all(osp.exists(p) for p in paths)
     assert osp.exists(tmp_path / "generated_results_freefine_2d.json")
+
+
+@pytest.mark.slow
+def test_harness_3d_task(tmp_path):
+    """3D harness conventions: precomputed coarse + draw/mesh masks."""
+    import json
+
+    from freefine_tpu.config import tiny_pipeline_config
+    from freefine_tpu.parallel.harness import run_geobench_inference
+    from freefine_tpu.pipeline import FreeFine
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    mask = np.zeros((64, 64), np.uint8); mask[20:40, 20:40] = 255
+    coarse = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    paths = {}
+    for n, a in (("img", img), ("mask", mask), ("coarse", coarse),
+                 ("tmask", mask), ("draw", mask)):
+        p = str(tmp_path / f"{n}.png")
+        save_image(a, p)
+        paths[n] = p
+    data = {"da0": {"instances": {"0": {"0": {
+        "edit_prompt": "moderately rotate the cup around the y-axis",
+        "edit_param": [0, 0, 0, 0, 20, 0, 1, 1, 1],
+        "ori_img_path": paths["img"], "ori_mask_path": paths["mask"],
+        "coarse_input_path_0": paths["coarse"],
+        "target_mask_0": paths["tmask"], "draw_mask": paths["draw"],
+    }}}}}
+    ann = str(tmp_path / "annotations_3d.json")
+    json.dump(data, open(ann, "w"))
+
+    pipe = FreeFine(config=tiny_pipeline_config(), init_random=True)
+    merged = run_geobench_inference(
+        pipe, ann, str(tmp_path), task="3d", num_step=4, start_step=2,
+        progress=lambda s: None,
+    )
+    case = merged["da0"]["instances"]["0"]["0"]
+    assert osp.exists(case["gen_img_path"])
+    assert case["edit_seconds"] > 0
