@@ -1,0 +1,68 @@
+"""GeoBench batch inference CLI — parity with the reference's torchrun
+launch (evaluation/FreeFine/run_script_2D.sh + freefine_batch_infer_2d.py).
+
+Single host, one or more processes (multi-host via jax.distributed env):
+  python examples/run_geobench.py --dst-base /data/GeoBenchMeta \
+      --checkpoint /path/sd15 [--task 2d|3d] [--num-step 50]
+
+Then score with:
+  python -m freefine_tpu.metrics.main \
+      --path <dst>/generated_results_freefine_2d.json --task 000011100
+"""
+
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _bootstrap  # noqa: F401  (JAX_PLATFORMS override)
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dst-base", required=True,
+                    help="GeoBenchMeta dir with annotations_{2d,3d}.json")
+    ap.add_argument("--checkpoint", default=None,
+                    help="diffusers SD-1.5 dir (random weights if omitted)")
+    ap.add_argument("--single-file", default=None,
+                    help="single-file LDM checkpoint (v1-5-pruned.safetensors)")
+    ap.add_argument("--task", default="2d", choices=["2d", "3d"])
+    ap.add_argument("--num-step", type=int, default=50)
+    ap.add_argument("--start-step", type=int, default=None)
+    ap.add_argument("--guidance-scale", type=float, default=7.5)
+    ap.add_argument("--eta", type=float, default=1.0)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--max-cases", type=int, default=None)
+    ap.add_argument("--inp-img-dir", default=None,
+                    help="blended inpainted backgrounds (inp_img_blended/)")
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args()
+
+    from freefine_tpu.config import sd15_pipeline_config, tiny_pipeline_config
+    from freefine_tpu.parallel.harness import run_geobench_inference
+    from freefine_tpu.pipeline import FreeFine
+
+    cfg = tiny_pipeline_config() if args.tiny else sd15_pipeline_config()
+    pipe = FreeFine(
+        config=cfg,
+        init_random=args.checkpoint is None and args.single_file is None,
+        tokenizer_path=args.checkpoint and f"{args.checkpoint}/tokenizer",
+    )
+    if args.single_file:
+        from freefine_tpu.weights import load_sd15_single_file
+
+        pipe.params = load_sd15_single_file(pipe, args.single_file)
+    elif args.checkpoint:
+        from freefine_tpu.weights import load_sd15
+
+        pipe.params = load_sd15(pipe, args.checkpoint)
+
+    ann = os.path.join(args.dst_base, f"annotations_{args.task}.json")
+    run_geobench_inference(
+        pipe, ann, args.dst_base,
+        task=args.task, num_step=args.num_step, start_step=args.start_step,
+        guidance_scale=args.guidance_scale, eta=args.eta, seed=args.seed,
+        inp_img_dir=args.inp_img_dir, max_cases=args.max_cases,
+    )
+
+
+if __name__ == "__main__":
+    main()
