@@ -142,9 +142,12 @@ def sample_edit_loop(
     eta: float,
     local_text_edit: bool,
     local_perturbation: bool,
+    return_intermediates: bool = False,
 ) -> jnp.ndarray:
     """Geometric-edit regeneration (reference forward_sampling,
-    model.py:476-622) as one scan.  Returns final 2-stream latents."""
+    model.py:476-622) as one scan.  Returns final 2-stream latents, or
+    (final, per-step edit-stream latents [K, h, w, c]) when
+    return_intermediates (the reference's latents_list, model.py:618)."""
     k = traj.shape[0] - 1
     ts = schedule.timesteps[start_step : start_step + k]
     # Reference pins stream 1 to refer_latents[i - start_step + 1][1]
@@ -171,9 +174,11 @@ def sample_edit_loop(
         lat, _ = ctrl_step(
             schedule, noise, t, lat, var_mask, eta, sub, ddim_streams_from=1
         )
-        return (lat, key), None
+        return (lat, key), (lat[0] if return_intermediates else None)
 
-    (lat, _), _ = jax.lax.scan(body, (init, rng), (ts, cg, gates, refs))
+    (lat, _), inter = jax.lax.scan(body, (init, rng), (ts, cg, gates, refs))
+    if return_intermediates:
+        return lat, inter
     return lat
 
 
@@ -451,10 +456,13 @@ class FreeFine:
         end_scale: float = 0.5,
         seed: int = 42,
         return_ori: bool = False,
+        return_intermediates: bool = False,
     ):
         """Geometric edit refinement — reference FreeFine_generation
         (model.py:1012-1049).  Returns the edited uint8 image (and the
-        reconstructed reference image when return_ori)."""
+        reconstructed reference image when return_ori; and the per-step
+        latent-preview frames when return_intermediates, the reference's
+        intermediate-GIF instrument, model.py:1174-1225)."""
         assert method_type in METHOD_TYPES, method_type
         cfg = self.config
         lh, lw = cfg.latent_height, cfg.latent_width
@@ -485,7 +493,7 @@ class FreeFine:
 
         key = (
             "edit", num_step, start_step, ecfg, guidance_scale, eta,
-            local_text_edit, local_perturbation,
+            local_text_edit, local_perturbation, return_intermediates,
         )
         if key not in self._jit_cache:
             unet_apply = self._make_unet_apply(ecfg)
@@ -495,19 +503,31 @@ class FreeFine:
                 start_step=start_step, guidance_scale=guidance_scale,
                 eta=eta, local_text_edit=local_text_edit,
                 local_perturbation=local_perturbation,
+                return_intermediates=return_intermediates,
             )
             self._jit_cache[key] = jax.jit(
                 lambda p, *a, _fn=fn, _s=schedule, _e=ecfg: _fn(p, _s, _e, *a)
             )
-        lat = self._jit_cache[key](
+        out = self._jit_cache[key](
             self.params, traj, text_emb, state,
             jnp.asarray(cg), jnp.asarray(gates),
             em.completion_cfg, em.local_var, jax.random.key(seed),
         )
+        inter = None
+        if return_intermediates:
+            lat, inter_lat = out
+            from freefine_tpu.utils.vis import latent_to_preview
+
+            inter = latent_to_preview(inter_lat)
+        else:
+            lat = out
         imgs = self.latent_to_image(lat)
+        rets = [imgs[0]]
         if return_ori:
-            return imgs[0], imgs[1]
-        return imgs[0]
+            rets.append(imgs[1])
+        if return_intermediates:
+            rets.append(inter)
+        return rets[0] if len(rets) == 1 else tuple(rets)
 
     def background_generation(
         self,
