@@ -143,15 +143,27 @@ class VideoResBlock(nn.Module):
 
 
 class TemporalAttentionBlock(nn.Module):
-    """Per-pixel attention over frames with frame-position embeddings
-    (video_model.py:447-631)."""
+    """Per-pixel transformer over the frame axis — the exact structure of
+    sgm's VideoTransformerBlock with SV3D's configuration (video_attention.
+    py:16-146; ff_in=True via extra_ff_mix_layer, temporal self-attn, then
+    temporal CROSS-attn to the conditioning-frame context repeated per
+    pixel — use_spatial_context=True, :245-258 — and a gated FF), with the
+    frame-position embedding MLP applied before the block
+    (time_pos_embed, :221-226)."""
 
     heads: int
     num_frames: int
     dtype: jnp.dtype = jnp.bfloat16
 
+    def _attn(self, q_in, kv_in, c, name):
+        q = nn.Dense(c, use_bias=False, dtype=self.dtype, name=f"{name}_to_q")(q_in)
+        k = nn.Dense(c, use_bias=False, dtype=self.dtype, name=f"{name}_to_k")(kv_in)
+        v = nn.Dense(c, use_bias=False, dtype=self.dtype, name=f"{name}_to_v")(kv_in)
+        a = sdpa(q, k, v, self.heads)
+        return nn.Dense(c, dtype=self.dtype, name=f"{name}_to_out")(a)
+
     @nn.compact
-    def __call__(self, tokens):
+    def __call__(self, tokens, time_context=None):
         # tokens: [B*T, S, C] -> [B*S, T, C]
         bt, s, c = tokens.shape
         b = bt // self.num_frames
@@ -165,15 +177,26 @@ class TemporalAttentionBlock(nn.Module):
         pos = nn.Dense(c, dtype=self.dtype, name="time_pos_embed_2")(pos)
         xt = xt + pos[None]
 
-        h = LayerNorm32(name="norm1")(xt)
-        qkv_dim = c
-        q = nn.Dense(qkv_dim, use_bias=False, dtype=self.dtype, name="to_q")(h)
-        k = nn.Dense(qkv_dim, use_bias=False, dtype=self.dtype, name="to_k")(h)
-        v = nn.Dense(qkv_dim, use_bias=False, dtype=self.dtype, name="to_v")(h)
-        a = sdpa(q, k, v, self.heads)
-        xt = xt + nn.Dense(c, dtype=self.dtype, name="to_out_0")(a)
+        # ff_in (extra_ff_mix_layer) with residual
+        h = LayerNorm32(name="norm_in")(xt)
+        xt = xt + FeedForward(dtype=self.dtype, name="ff_in")(h)
 
+        # temporal self-attention
+        h = LayerNorm32(name="norm1")(xt)
+        xt = xt + self._attn(h, h, c, "attn1")
+
+        # temporal cross-attention to the conditioning-frame context
+        # (first-timestep context repeated per pixel, video_attention.py:
+        # 249-255); falls back to self-attention when absent.
         h = LayerNorm32(name="norm2")(xt)
+        if time_context is not None:
+            # time_context: [B, 1, C_ctx] -> [B*S, 1, C_ctx]
+            ctx = jnp.repeat(time_context, s, axis=0)
+        else:
+            ctx = h
+        xt = xt + self._attn(h, ctx, c, "attn2")
+
+        h = LayerNorm32(name="norm3")(xt)
         xt = xt + FeedForward(dtype=self.dtype, name="ff")(h)
         return xt.reshape(b, s, t, c).transpose(0, 2, 1, 3).reshape(bt, s, c)
 
@@ -212,9 +235,14 @@ class VideoSpatialTransformer(nn.Module):
         y = LayerNorm32(name="norm3")(h)
         h = h + FeedForward(dtype=self.dtype, name="ff")(y)
 
+        # time-cross context: the conditioning frame's context row per batch
+        # (use_spatial_context, video_attention.py:245-252)
+        ctx_first = context.reshape(
+            b // self.num_frames, self.num_frames, *context.shape[1:]
+        )[:, 0]
         temporal = TemporalAttentionBlock(
             self.heads, self.num_frames, self.dtype, name="time_stack"
-        )(h)
+        )(h, time_context=ctx_first)
         h = AlphaBlender(name="time_mixer")(h, temporal)
 
         h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
