@@ -914,6 +914,71 @@ class BatchedFreeFine:
         imgs = pipe.latent_to_image(out[:, 0])
         return [imgs[i] for i in range(n)]
 
+    def background_generation(
+        self,
+        cases,  # sequence of dicts with ori_img / ori_mask / guidance_text
+        guidance_scale: float = 3.5,
+        eta: float = 1.0,
+        end_step: int = 10,
+        num_step: int = 50,
+        start_step: int = 1,
+        method_type: str = "tca",
+        local_text_edit: bool = True,
+        local_perturbation: bool = True,
+        end_scale: float = 0.5,
+        seed: int = 42,
+    ):
+        """Batched object removal: N independent cases per device step."""
+        pipe = self.pipe
+        cfg = pipe.config
+        lh, lw = cfg.latent_height, cfg.latent_width
+        n = len(cases)
+
+        lat1, text1, text4, states, lvars = [], [], [], [], []
+        uncond = pipe.encode_text([""])[0]
+        for case in cases:
+            ori = pipe._prep_image(case["ori_img"])
+            lat1.append(pipe.image_to_latent(ori))
+            text1.append(uncond[None])
+            embs = pipe.encode_text(["", case["guidance_text"]])
+            text4.append(jnp.stack([embs[0], embs[0], embs[1], embs[0]]))
+            mask_full, lv = mask_ops.prepare_mask_bggen(
+                jnp.asarray(case["ori_mask"]), cfg.height, cfg.width, lh, lw
+            )
+            pyr = build_mask_pyramid(mask_full, lh, lw)
+            states.append(EditState(fg_retain=pyr, fg_ref=pyr, local_region=pyr))
+            lvars.append(lv)
+
+        method, cg, gates = _method_and_gates(
+            method_type, start_step, end_step, num_step, end_scale
+        )
+        ecfg = EditConfig(mode="bggen", method=method, local_cfg=local_text_edit)
+        key = (
+            "bggen_batch", n, num_step, start_step, ecfg, guidance_scale, eta,
+            local_text_edit, local_perturbation,
+        )
+        if key not in pipe._jit_cache:
+            schedule = pipe._schedule(num_step)
+            case_fn = bggen_case_fn(
+                pipe._unet_apply_plain, pipe._make_unet_apply(ecfg),
+                schedule, ecfg,
+                num_actual=num_step - start_step, start_step=start_step,
+                guidance_scale=guidance_scale, eta=eta,
+                local_text_edit=local_text_edit,
+                local_perturbation=local_perturbation,
+            )
+            pipe._jit_cache[key] = jax.jit(
+                jax.vmap(case_fn, in_axes=(None, 0, 0, 0, 0, None, None, 0, 0, 0))
+            )
+        rngs = jax.random.split(jax.random.key(seed), n)
+        out = pipe._jit_cache[key](
+            pipe.params, jnp.stack(lat1), jnp.stack(text1), jnp.stack(text4),
+            _stack_states(states), jnp.asarray(cg), jnp.asarray(gates),
+            jnp.stack(lvars), jnp.stack(lvars), rngs,
+        )
+        imgs = pipe.latent_to_image(out[:, 0])
+        return [imgs[i] for i in range(n)]
+
 
 # ---------------------------------------------------------------------------
 # Checkpointing
@@ -1028,3 +1093,32 @@ def _guided_energy_masks(cfg, em):
         resize(1.0 - jnp.maximum(em.fg_retain, em.fg_ref)),
         resize(em.fg_ref * (1.0 - em.fg_retain)),
     )
+
+
+def bggen_case_fn(
+    unet_plain,
+    unet_edit,
+    schedule: DDIMSchedule,
+    ecfg: EditConfig,
+    *,
+    num_actual: int,
+    start_step: int,
+    guidance_scale: float,
+    eta: float,
+    local_text_edit: bool,
+    local_perturbation: bool,
+):
+    """One removal case's full compute (invert -> bggen loop), vmappable."""
+
+    def fn(params, lat1, text1, text4, state, cg, gates, cfg_mask, var_mask, rng):
+        traj = ddim_invert_loop(unet_plain, params, schedule, lat1, text1,
+                                num_actual)
+        return sample_bggen_loop(
+            unet_edit, params, schedule, ecfg, traj, text4, state, cg, gates,
+            cfg_mask, var_mask, rng,
+            start_step=start_step, guidance_scale=guidance_scale, eta=eta,
+            local_text_edit=local_text_edit,
+            local_perturbation=local_perturbation,
+        )
+
+    return fn

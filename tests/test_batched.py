@@ -46,3 +46,21 @@ def test_batched_matches_single():
         reduce_inp_artifacts=True, seed=9,
     )
     assert single.shape == outs[0].shape
+
+
+@pytest.mark.slow
+def test_batched_background_generation():
+    pipe = FreeFine(config=tiny_pipeline_config(), init_random=True)
+    batched = BatchedFreeFine(pipe)
+    h = w = pipe.config.height
+    r = np.random.default_rng(3)
+    cases = []
+    for s in range(2):
+        img = r.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        m = np.zeros((h, w), np.uint8); m[8:24, 8:24] = 255
+        cases.append(dict(ori_img=img, ori_mask=m, guidance_text="empty"))
+    outs = batched.background_generation(cases, num_step=5, start_step=1,
+                                         end_step=1)
+    assert len(outs) == 2
+    assert outs[0].shape == (h, w, 3) and outs[0].dtype == np.uint8
+    assert not np.array_equal(outs[0], outs[1])
