@@ -46,14 +46,34 @@ FLASH_MODE = os.environ.get("FREEFINE_FLASH", "auto")
 FLASH_MIN_SEQ = 256
 
 
+_FLASH_SUSPENDED = False
+
+
 def _use_flash(*seqs: int) -> bool:
-    if FLASH_MODE == "0":
+    if _FLASH_SUSPENDED or FLASH_MODE == "0":
         return False
     if FLASH_MODE == "1":
         return True
     return jax.default_backend() == "tpu" and all(
         s >= FLASH_MIN_SEQ and s % 128 == 0 for s in seqs
     )
+
+
+class flash_suspended:
+    """Trace-time context that forces the einsum attention path.
+
+    The Pallas kernels have no custom VJP, so any graph that will be
+    differentiated (energy guidance's jax.grad through the UNet,
+    ops/guidance.py) must trace with this context active."""
+
+    def __enter__(self):
+        global _FLASH_SUSPENDED
+        self._prev = _FLASH_SUSPENDED
+        _FLASH_SUSPENDED = True
+
+    def __exit__(self, *exc):
+        global _FLASH_SUSPENDED
+        _FLASH_SUSPENDED = self._prev
 
 
 def split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
