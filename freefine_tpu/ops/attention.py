@@ -134,9 +134,15 @@ def masked_sdpa(
     einsum elsewhere — both numerically equivalent (golden-tested).
     """
     if _use_flash(q.shape[1], k.shape[1]):
-        from freefine_tpu.ops.flash_attention import flash_sdpa
+        from freefine_tpu.ops.flash_attention import flash_sdpa_diff
 
-        return flash_sdpa(q, k, v, key_rows, heads=heads)
+        rows = (
+            jnp.ones((q.shape[0], k.shape[1]), jnp.float32)
+            if key_rows is None else key_rows
+        )
+        # the differentiable variant (custom VJP) so jax.grad works through
+        # the kernel (energy guidance); forward math is identical
+        return flash_sdpa_diff(q, k, v, rows, heads)
     bias = None if key_rows is None else key_bias(key_rows)
     return sdpa(q, k, v, heads, bias)
 

@@ -275,3 +275,263 @@ def tca_flash(
         ],
     )(qh, ksh, vsh, kmh, vmh, fg, tq, cg)
     return out.reshape(b, heads, s, d).transpose(0, 2, 1, 3).reshape(b, s, e)
+
+
+# ---------------------------------------------------------------------------
+# Flash attention VJP (enables jax.grad through flash_sdpa)
+# ---------------------------------------------------------------------------
+
+
+def _flash_fwd_lse_kernel(
+    q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, m_s, l_s, acc_s,
+    *, scale, use_mask,
+):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        m_s[:] = jnp.full_like(m_s, _M_INIT)
+        l_s[:] = jnp.zeros_like(l_s)
+        acc_s[:] = jnp.zeros_like(acc_s)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if use_mask:
+        s = s + (mask_ref[0, 0][None, :] - 1.0) * -NEG_INF
+
+    m_prev = m_s[:, 0]
+    m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
+    corr = jnp.exp(m_prev - m_cur)
+    p = jnp.exp(s - m_cur[:, None])
+    l_s[:, 0] = l_s[:, 0] * corr + jnp.sum(p, axis=1)
+    acc_s[:] = acc_s[:] * corr[:, None] + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_s[:, 0] = m_cur
+
+    @pl.when(ki == nk - 1)
+    def _():
+        l = jnp.maximum(l_s[:, 0], 1e-30)
+        o_ref[0] = (acc_s[:] / l[:, None]).astype(o_ref.dtype)
+        lse_ref[0, :, 0] = m_s[:, 0] + jnp.log(l)
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_s,
+    *, scale, use_mask,
+):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_s[:] = jnp.zeros_like(acc_s)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if use_mask:
+        s = s + (mask_ref[0, 0][None, :] - 1.0) * -NEG_INF
+    p = jnp.exp(s - lse_ref[0, :, 0][:, None])
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta_ref[0, :, 0][:, None])
+    acc_s[:] = acc_s[:] + jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+
+    @pl.when(ki == nk - 1)
+    def _():
+        dq_ref[0] = acc_s[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref, dk_s, dv_s,
+    *, scale, use_mask,
+):
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_s[:] = jnp.zeros_like(dk_s)
+        dv_s[:] = jnp.zeros_like(dv_s)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if use_mask:
+        s = s + (mask_ref[0, 0][None, :] - 1.0) * -NEG_INF
+    p = jnp.exp(s - lse_ref[0, :, 0][:, None])          # [BQ, BK]
+    dv_s[:] = dv_s[:] + jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta_ref[0, :, 0][:, None])
+    dk_s[:] = dk_s[:] + jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+
+    @pl.when(qi == nq - 1)
+    def _():
+        dk_ref[0] = dk_s[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_s[:].astype(dv_ref.dtype)
+
+
+def _flash_heads(x, b, s, heads, d):
+    return x.reshape(b, s, heads, d).transpose(0, 2, 1, 3).reshape(b * heads, s, d)
+
+
+def _flash_unheads(x, b, s, heads, d):
+    return x.reshape(b, heads, s, d).transpose(0, 2, 1, 3).reshape(b, s, heads * d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def flash_sdpa_diff(q, k, v, key_mask, heads, block_q=512, block_k=512):
+    """Differentiable flash attention (same semantics as flash_sdpa).
+
+    key_mask must be an array ([B, Sk] 0/1) — pass all-ones for unmasked.
+    The backward pass recomputes attention blockwise from the saved
+    logsumexp (the standard flash backward), entirely in Pallas.
+    """
+    out, _ = _flash_fwd_lse(q, k, v, key_mask, heads, block_q, block_k)
+    return out
+
+
+def _flash_fwd_lse(q, k, v, key_mask, heads, block_q, block_k):
+    b, sq, e = q.shape
+    sk = k.shape[1]
+    d = e // heads
+    bq = _pick_block(sq, block_q)
+    bk = _pick_block(sk, block_k)
+    qh = _flash_heads(q, b, sq, heads, d)
+    kh = _flash_heads(k, b, sk, heads, d)
+    vh = _flash_heads(v, b, sk, heads, d)
+    mask = key_mask.astype(jnp.float32)[:, None, :]
+    scale = 1.0 / (d ** 0.5)
+    grid = (b * heads, sq // bq, sk // bk)
+    hh = heads
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_fwd_lse_kernel, scale=scale, use_mask=True),
+        interpret=jax.default_backend() != "tpu",
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda h, qi, ki: (h, qi, 0)),
+            pl.BlockSpec((1, bk, d), lambda h, qi, ki: (h, ki, 0)),
+            pl.BlockSpec((1, bk, d), lambda h, qi, ki: (h, ki, 0)),
+            pl.BlockSpec((1, 1, bk), lambda h, qi, ki: (h // hh, 0, ki)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq, d), lambda h, qi, ki: (h, qi, 0)),
+            pl.BlockSpec((1, bq, 1), lambda h, qi, ki: (h, qi, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * heads, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * heads, sq, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+    )(qh, kh, vh, mask)
+    return _flash_unheads(out, b, sq, heads, d), lse
+
+
+def _flash_sdpa_fwd(q, k, v, key_mask, heads, block_q, block_k):
+    out, lse = _flash_fwd_lse(q, k, v, key_mask, heads, block_q, block_k)
+    return out, (q, k, v, key_mask, out, lse)
+
+
+def _flash_sdpa_bwd(heads, block_q, block_k, res, g):
+    q, k, v, key_mask, out, lse = res
+    b, sq, e = q.shape
+    sk = k.shape[1]
+    d = e // heads
+    bq = _pick_block(sq, block_q)
+    bk = _pick_block(sk, block_k)
+    qh = _flash_heads(q, b, sq, heads, d)
+    kh = _flash_heads(k, b, sk, heads, d)
+    vh = _flash_heads(v, b, sk, heads, d)
+    doh = _flash_heads(g.astype(q.dtype), b, sq, heads, d)
+    oh = _flash_heads(out, b, sq, heads, d)
+    mask = key_mask.astype(jnp.float32)[:, None, :]
+    scale = 1.0 / (d ** 0.5)
+    hh = heads
+    interp = jax.default_backend() != "tpu"
+
+    delta = jnp.sum(
+        oh.astype(jnp.float32) * doh.astype(jnp.float32), axis=-1, keepdims=True
+    )  # [BH, Sq, 1]
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, use_mask=True),
+        interpret=interp,
+        grid=(b * heads, sq // bq, sk // bk),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda h, qi, ki: (h, qi, 0)),
+            pl.BlockSpec((1, bk, d), lambda h, qi, ki: (h, ki, 0)),
+            pl.BlockSpec((1, bk, d), lambda h, qi, ki: (h, ki, 0)),
+            pl.BlockSpec((1, 1, bk), lambda h, qi, ki: (h // hh, 0, ki)),
+            pl.BlockSpec((1, bq, d), lambda h, qi, ki: (h, qi, 0)),
+            pl.BlockSpec((1, bq, 1), lambda h, qi, ki: (h, qi, 0)),
+            pl.BlockSpec((1, bq, 1), lambda h, qi, ki: (h, qi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda h, qi, ki: (h, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * heads, sq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+    )(qh, kh, vh, mask, doh, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale, use_mask=True),
+        interpret=interp,
+        grid=(b * heads, sk // bk, sq // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda h, ki, qi: (h, qi, 0)),
+            pl.BlockSpec((1, bk, d), lambda h, ki, qi: (h, ki, 0)),
+            pl.BlockSpec((1, bk, d), lambda h, ki, qi: (h, ki, 0)),
+            pl.BlockSpec((1, 1, bk), lambda h, ki, qi: (h // hh, 0, ki)),
+            pl.BlockSpec((1, bq, d), lambda h, ki, qi: (h, qi, 0)),
+            pl.BlockSpec((1, bq, 1), lambda h, ki, qi: (h, qi, 0)),
+            pl.BlockSpec((1, bq, 1), lambda h, ki, qi: (h, qi, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bk, d), lambda h, ki, qi: (h, ki, 0)),
+            pl.BlockSpec((1, bk, d), lambda h, ki, qi: (h, ki, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * heads, sk, d), k.dtype),
+            jax.ShapeDtypeStruct((b * heads, sk, d), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+        ],
+    )(qh, kh, vh, mask, doh, lse, delta)
+
+    return (
+        _flash_unheads(dq, b, sq, heads, d),
+        _flash_unheads(dk, b, sk, heads, d),
+        _flash_unheads(dv, b, sk, heads, d),
+        jnp.zeros_like(key_mask),
+    )
+
+
+flash_sdpa_diff.defvjp(_flash_sdpa_fwd, _flash_sdpa_bwd)

@@ -105,21 +105,16 @@ def move_energy(
     """
     loss_scale = (0.5, 0.5)
 
-    # This energy is differentiated w.r.t. `latent`; the Pallas attention
-    # kernels have no VJP, so trace the UNet with the einsum path.
-    from freefine_tpu.ops.attention import flash_suspended
-
-    with flash_suspended():
-        _, feats_tar = unet_apply(
-            params, ref_latent, t, text_emb, return_features=True
-        )
-        feats_tar = [
-            jax.lax.stop_gradient(feats_tar[i]) for i in feature_indices
-        ]
-        _, feats_cur = unet_apply(
-            params, latent, t, text_emb, return_features=True
-        )
-        feats_cur = [feats_cur[i] for i in feature_indices]
+    # This energy is differentiated w.r.t. `latent`: the plain-attention
+    # path routes through flash_sdpa_diff (custom VJP), so the flash
+    # kernels stay active here.  (`flash_suspended` remains available for
+    # any future differentiated path that hits the VJP-less tca_flash.)
+    _, feats_tar = unet_apply(
+        params, ref_latent, t, text_emb, return_features=True
+    )
+    feats_tar = [jax.lax.stop_gradient(feats_tar[i]) for i in feature_indices]
+    _, feats_cur = unet_apply(params, latent, t, text_emb, return_features=True)
+    feats_cur = [feats_cur[i] for i in feature_indices]
 
     loss = jnp.float32(0.0)
     for s, fc, ft in zip(loss_scale, feats_cur, feats_tar):
