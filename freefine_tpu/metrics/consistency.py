@@ -141,3 +141,35 @@ def make_dino_encoder(params, config=None) -> Callable[[np.ndarray], np.ndarray]
         return np.asarray(apply(params, x[None]))[0]
 
     return encode
+
+
+def make_dino_batch_encoder(params, config=None):
+    """(encode_batch, preprocess) pair for `fid.batched_features`: one jitted
+    DINO forward per batch of 64 instead of per image (the FID_DINO/FID_KD
+    path runs over thousands of GeoBench images)."""
+    import jax
+    import jax.numpy as jnp
+
+    from freefine_tpu.models.dinov2 import DINOv2, DINOv2Config
+
+    cfg = config or DINOv2Config(
+        dim=768, depth=12, heads=12, patch_size=16, pos_embed_size=14
+    )
+    model = DINOv2(cfg)
+    apply = jax.jit(lambda p, x: model.apply(p, x)[1])
+    mean = np.asarray([0.485, 0.456, 0.406], np.float32)
+    std = np.asarray([0.229, 0.224, 0.225], np.float32)
+    size = 224 - (224 % cfg.patch_size)
+
+    def preprocess(img: np.ndarray) -> np.ndarray:
+        x = jnp.asarray(img.astype(np.float32)) / 255.0
+        x = jax.image.resize(x, (size, size, 3), method="bicubic")
+        return (np.asarray(x) - mean) / std
+
+    def encode_batch(batch: np.ndarray) -> np.ndarray:
+        return np.asarray(apply(params, jnp.asarray(batch)))
+
+    def prep_one(img: np.ndarray) -> np.ndarray:
+        return preprocess(img)[None]
+
+    return encode_batch, prep_one

@@ -82,6 +82,17 @@ def main(argv=None):
                         help="dir with converted metric-encoder params "
                              "(clip_b32.msgpack, dino_vitb16.msgpack, "
                              "dinov2_vitb14.msgpack)")
+    parser.add_argument("--sd-params", default=None,
+                        help="MD: orbax SD checkpoint dir (pipeline."
+                             "save_pipeline), or 'random' for a smoke run "
+                             "with randomly initialised weights")
+    parser.add_argument("--sd-config", default="sd15", choices=["sd15", "tiny"],
+                        help="MD: pipeline config for the DIFT backbone "
+                             "(tiny is for tests/smoke runs)")
+    parser.add_argument("--md-corr-dir", default=None,
+                        help="MD: dir of 3D ground-truth correspondence "
+                             ".npy files (default: derived from the "
+                             "generated-image path like the reference)")
     args = parser.parse_args(argv)
 
     from freefine_tpu.data.geobench import filter_by_level
@@ -181,7 +192,33 @@ def main(argv=None):
 
         result["WRAP_E"] = wrap_error(data, label)
     if int(task[6]):
-        unavailable("MD", "DIFT (SD-2.1) checkpoint")
+        if args.sd_params is None:
+            unavailable("MD", "--sd-params (orbax SD checkpoint)")
+        else:
+            import os.path as _osp
+
+            from freefine_tpu.config import sd15_pipeline_config, tiny_pipeline_config
+            from freefine_tpu.metrics.md import compute_md, default_corr_path
+            from freefine_tpu.ops.dift import make_sd_featurizer
+            from freefine_tpu.pipeline import FreeFine, load_pipeline_params
+
+            cfg = (tiny_pipeline_config() if args.sd_config == "tiny"
+                   else sd15_pipeline_config())
+            pipe = FreeFine(config=cfg, init_random=True,
+                            tokenizer_path=args.weights_dir)
+            if args.sd_params != "random":
+                load_pipeline_params(pipe, args.sd_params)
+
+            if args.md_corr_dir:
+                def corr_path_for(gen_path):
+                    base = _osp.splitext(_osp.basename(gen_path))[0]
+                    return _osp.join(args.md_corr_dir, base + ".npy")
+            else:
+                corr_path_for = default_corr_path
+            result["MD"] = compute_md(
+                data, label, make_sd_featurizer(pipe),
+                corr_path_for=corr_path_for,
+            )
     if int(task[7]) or int(task[8]):
         p = load_params("dinov2_vitb14.msgpack")
         if p is None:
@@ -190,14 +227,12 @@ def main(argv=None):
             if int(task[8]):
                 unavailable("FID_KD", "dinov2_vitb14.msgpack")
         else:
-            import numpy as np
-            from PIL import Image
-
             from freefine_tpu.metrics.common import fid_from_features, polynomial_mmd
-            from freefine_tpu.metrics.consistency import make_dino_encoder
+            from freefine_tpu.metrics.consistency import make_dino_batch_encoder
+            from freefine_tpu.metrics.fid import batched_features
             from freefine_tpu.models.dinov2 import dinov2_vitb14
 
-            enc = make_dino_encoder(p, dinov2_vitb14())
+            enc_b, prep = make_dino_batch_encoder(p, dinov2_vitb14())
             gen_paths = _collect_paths(data, label)
             assert args.fid_path, "--fid_path required for the FID family"
             real_paths = [
@@ -205,12 +240,8 @@ def main(argv=None):
                 for f in sorted(os.listdir(args.fid_path))
                 if f.lower().endswith((".png", ".jpg", ".jpeg"))
             ]
-            feats_g = np.stack(
-                [enc(np.array(Image.open(p_).convert("RGB"))) for p_ in gen_paths]
-            )
-            feats_r = np.stack(
-                [enc(np.array(Image.open(p_).convert("RGB"))) for p_ in real_paths]
-            )
+            feats_g = batched_features(gen_paths, enc_b, prep)
+            feats_r = batched_features(real_paths, enc_b, prep)
             if int(task[7]):
                 result["FID_DINO"] = fid_from_features(feats_g, feats_r)
             if int(task[8]):

@@ -67,3 +67,52 @@ def match_points(
 def upsample_features(f: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
     """[h, w, C] -> [hw[0], hw[1], C] bilinear (F.interpolate equivalent)."""
     return jax.image.resize(f, (hw[0], hw[1], f.shape[-1]), method="bilinear")
+
+
+def make_sd_featurizer(
+    pipe,
+    t: int = 261,
+    up_ft_index: int = 1,
+    ensemble_size: int = 8,
+    seed: int = 0,
+):
+    """DIFT featurizer over a `FreeFine` pipeline's own SD UNet.
+
+    Matches the reference SDFeaturizer protocol (dift_sd.py:189-235):
+    VAE-encode the image, noise it to train-step `t`, one UNet forward per
+    ensemble member (batched here), average up-block `up_ft_index`
+    features, bilinearly upsample to the input image's resolution.
+
+    Documented deviation: the reference loads a separate SD-2.1 checkpoint
+    as the descriptor backbone; we reuse the pipeline's SD UNet so the
+    metric runs from one converted checkpoint.  The ensemble noise is
+    seeded (deterministic metric), unlike the reference's global torch RNG.
+
+    Returns `featurize(img_uint8_hwc, prompt) -> np.ndarray [H, W, C]`.
+    """
+    import numpy as np
+
+    schedule = pipe._schedule(50)  # only the full alphas_cumprod table is used
+
+    def unet_apply(params, sample, tt, emb, return_features=False):
+        return pipe.unet.apply(
+            params["unet"], sample, tt, emb, return_features=return_features
+        )
+
+    def run(params, lat, emb, rng):
+        return dift_features(
+            unet_apply, params, lat, emb, schedule, rng,
+            t=t, up_ft_index=up_ft_index, ensemble_size=ensemble_size,
+        )
+
+    run_j = jax.jit(run)
+    rng = jax.random.key(seed)
+
+    def featurize(img: "np.ndarray", prompt: str) -> "np.ndarray":
+        h, w = img.shape[:2]
+        lat = pipe.image_to_latent(pipe._prep_image(img))
+        emb = pipe.encode_text([prompt])
+        f = run_j(pipe.params, lat, emb, rng)
+        return np.asarray(upsample_features(f, (h, w)), np.float32)
+
+    return featurize

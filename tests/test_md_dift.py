@@ -54,6 +54,82 @@ def test_match_points_recovers_shift(rng_np):
     np.testing.assert_array_equal(got, [[6, 7], [8, 5]])
 
 
+def _textured_image(rng, h, w):
+    """Noise + blob texture so SIFT/ORB find keypoints."""
+    g = rng.random((h, w)) * 255
+    for _ in range(3):  # cheap smoothing -> blobs
+        g = (g + np.roll(g, 1, 0) + np.roll(g, 1, 1) + np.roll(g, -1, 0)
+             + np.roll(g, -1, 1)) / 5
+    g = (g - g.min()) / (g.max() - g.min())
+    img = np.stack([g, 1 - g, g * g], -1)
+    return (img * 255).astype(np.uint8)
+
+
+def _patch_featurizer(img, prompt):
+    """7x7 grayscale patches as descriptors — exact matching under
+    translation, no SD weights needed."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    g = img.astype(np.float32).mean(-1)
+    pad = np.pad(g, 3, mode="wrap")
+    win = sliding_window_view(pad, (7, 7))
+    return np.ascontiguousarray(win.reshape(g.shape + (49,)))
+
+
+def _write_mini_geobench(tmp_path, rng, h=96, w=96, dx=9, dy=5):
+    """One translated case on disk + annotation dict (GeoBench schema)."""
+    from PIL import Image
+
+    s_img = _textured_image(rng, h, w)
+    t_img = np.roll(s_img, shift=(dy, dx), axis=(0, 1))
+    mask = np.zeros((h, w), np.uint8)
+    mask[h // 4: 3 * h // 4, w // 4: 3 * w // 4] = 255
+    paths = {}
+    for name, arr in [("src.png", s_img), ("gen.png", t_img), ("mask.png", mask)]:
+        p = str(tmp_path / name)
+        Image.fromarray(arr).save(p)
+        paths[name] = p
+    data = {"da0": {"instances": {"ins0": {"case0": {
+        "ori_img_path": paths["src.png"],
+        "gen_img_path": paths["gen.png"],
+        "ori_mask_path": paths["mask.png"],
+        "edit_param": [dx, dy, 0, 0, 0, 0, 1, 1, 1],
+        "obj_label": "object",
+        "edit_prompt": "lightly move the object right",
+    }}}}}
+    return data, (dx, dy)
+
+
+@pytest.mark.skipif(cv2 is None, reason="cv2 not available")
+def test_compute_md_translate_near_zero(tmp_path, rng_np):
+    """End-to-end MD loop with an exact-translation edit and patch
+    descriptors: matched points land on the ground truth, MD ~ 0."""
+    from freefine_tpu.metrics.md import compute_md
+
+    data, _ = _write_mini_geobench(tmp_path, rng_np)
+    md = compute_md(data, "gen_img_path", _patch_featurizer, verbose=False)
+    assert np.isfinite(md)
+    assert md < 2.0  # sub-keypoint-radius: matching recovered the shift
+
+
+@pytest.mark.skipif(cv2 is None, reason="cv2 not available")
+def test_md_cli_tiny_pipeline(tmp_path, rng_np):
+    """--task 000000100 with the tiny random-weight SD backbone prints a
+    finite number (wiring test for the DIFT path in the CLI)."""
+    import json
+
+    from freefine_tpu.metrics.main import main as metrics_main
+
+    data, _ = _write_mini_geobench(tmp_path, rng_np, h=64, w=64, dx=4, dy=3)
+    ann = tmp_path / "results.json"
+    ann.write_text(json.dumps(data))
+    result = metrics_main([
+        "--path", str(ann), "--task", "000000100",
+        "--sd-params", "random", "--sd-config", "tiny",
+    ])
+    assert result["MD"] is not None and np.isfinite(result["MD"])
+
+
 @pytest.mark.skipif(cv2 is None, reason="cv2 not available")
 def test_sift_keypoints_in_mask(rng_np):
     img = (rng_np.random((64, 64, 3)) * 255).astype(np.uint8)
