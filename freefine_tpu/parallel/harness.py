@@ -79,6 +79,185 @@ def _allgather_results(local: List[Dict]) -> List[List[Dict]]:
     return out
 
 
+def gaussian_blur_mask(mask01: np.ndarray, ksize: int = 21) -> np.ndarray:
+    """cv2.GaussianBlur(mask, (k, k), 0) on a [H, W] float mask: cv2's
+    sigma-from-ksize rule (0.3*((k-1)*0.5 - 1) + 0.8) and REFLECT_101
+    borders, as a separable host-side convolution."""
+    sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    r = (ksize - 1) // 2
+    x = np.arange(ksize, dtype=np.float64) - r
+    k = np.exp(-(x ** 2) / (2.0 * sigma ** 2))
+    k /= k.sum()
+    m = mask01.astype(np.float64)
+    m = np.pad(m, ((r, r), (0, 0)), mode="reflect")
+    m = np.apply_along_axis(lambda v: np.convolve(v, k, mode="valid"), 0, m)
+    m = np.pad(m, ((0, 0), (r, r)), mode="reflect")
+    m = np.apply_along_axis(lambda v: np.convolve(v, k, mode="valid"), 1, m)
+    return m.astype(np.float32)
+
+
+def blend_background(
+    ori_img: np.ndarray, gen_img: np.ndarray, mask01: np.ndarray,
+    ksize: int = 21,
+) -> np.ndarray:
+    """BrushNet-style blended paste of the regenerated background
+    (freefine_batch_infer_bggen_2d.py:186-190, Partial-editing.ipynb).
+
+    Documented deviation: the reference divides the blurred 0/1 mask by 255
+    (a leftover from a 0..255-scaled mask), which collapses the soft halo to
+    ~0 and degenerates to a hard paste; here the blur output stays in [0,1]
+    so the blend is actually soft — the BrushNet intent.
+    """
+    mb = gaussian_blur_mask(mask01, ksize)
+    m = (1.0 - (1.0 - mask01) * (1.0 - mb))[..., None]
+    out = ori_img.astype(np.float32) * (1.0 - m) + gen_img.astype(np.float32) * m
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _instance_seed(seed: int, da_n: str, ins_id: str) -> int:
+    """Per-instance seed: the reference draws random.randint(0, 1e16) "to
+    bring more diversity to background gen" (bggen_2d.py:165); we derive it
+    deterministically so runs are reproducible AND diverse."""
+    import zlib
+
+    return zlib.crc32(f"{seed}/{da_n}/{ins_id}".encode()) & 0x7FFFFFFF
+
+
+def run_geobench_bggen(
+    pipe,
+    annotations_json: str,
+    dst_base: str,
+    blending: bool = True,
+    bench: str = "2d",
+    num_step: int = 50,
+    start_step: int = 1,
+    guidance_scale: float = 7.5,
+    eta: float = 1.0,
+    end_step: int = 35,
+    end_scale: float = 0.5,
+    dilation: int = 30,
+    seed: int = 42,
+    batch_size: int = 1,
+    max_cases: Optional[int] = None,
+    progress: Callable[[str], None] = print,
+) -> Optional[Dict]:
+    """Background-generation pass producing `inp_img_blended/` (or
+    `inp_img_no_blend/`) consumed by the 2D/3D edit runs via `inp_img_dir`
+    (reference freefine_batch_infer_bggen_2d.py:96-205).
+
+    One background per (da_n, ins_id) instance: dilate the object mask by
+    30, regenerate an "empty scene" (guidance 7.5, start_step 1, end_step
+    35), optionally Gaussian-blend the result over the original.  Resume is
+    by inp_img.png existence; with batch_size > 1, instances run through
+    `BatchedFreeFine.background_generation` (beyond the reference's hard
+    batch-1 limit).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from freefine_tpu import masks as mask_ops
+
+    pidx, pcount = maybe_initialize_distributed()
+    sub = "inp_img_blended" if blending else "inp_img_no_blend"
+    inp_dir = osp.join(dst_base, f"Geo-Bench-{bench.upper()}", sub)
+    data = json.load(open(annotations_json))
+    base_dir = osp.dirname(annotations_json)
+
+    def resolve(p):
+        return p if osp.isabs(p) else osp.join(base_dir, p)
+
+    # one background per instance (the first case supplies the paths)
+    instances, done = [], []
+    for da_n, da in data.items():
+        for ins_id, cases in da.get("instances", {}).items():
+            if not cases:
+                continue
+            first = next(iter(cases.values()))
+            out_path = osp.join(inp_dir, str(da_n), str(ins_id), "inp_img.png")
+            item = {
+                "da_n": str(da_n), "ins_id": str(ins_id),
+                "ori_img_path": first["ori_img_path"],
+                "ori_mask_path": first["ori_mask_path"],
+                "inp_img_path": out_path,
+            }
+            (done if osp.exists(out_path) else instances).append(item)
+
+    my = instances[pidx::pcount]
+    if max_cases is not None:
+        my = my[:max_cases]
+    progress(f"[proc {pidx}/{pcount}] bggen: {len(my)} instances "
+             f"({len(done)} already done)")
+
+    dilate_j = jax.jit(
+        lambda m: mask_ops.binarize(
+            mask_ops.dilate(mask_ops.binarize(m), dilation)
+        )
+    )
+
+    size = pipe.config.height  # blend at the pipeline resolution
+
+    def load(item):
+        ori = read_image(resolve(item["ori_img_path"]), size=size)
+        m = read_mask(resolve(item["ori_mask_path"]), size=size)
+        dil = np.asarray(dilate_j(jnp.asarray(m, jnp.float32)))
+        return ori, dil
+
+    results: List[Dict] = []
+    t0 = time.time()
+    if batch_size > 1:
+        from freefine_tpu.pipeline import BatchedFreeFine
+
+        batched = BatchedFreeFine(pipe)
+        for b0 in range(0, len(my), batch_size):
+            group = my[b0: b0 + batch_size]
+            if len(group) < batch_size:  # pad to the compiled batch size
+                group = group + [group[-1]] * (batch_size - len(group))
+            loaded = [load(it) for it in group]
+            outs = batched.background_generation(
+                [dict(ori_img=o, ori_mask=d, guidance_text="empty scene")
+                 for o, d in loaded],
+                guidance_scale=guidance_scale, eta=eta, end_step=end_step,
+                num_step=num_step, start_step=start_step,
+                end_scale=end_scale,
+                seed=_instance_seed(seed, group[0]["da_n"], group[0]["ins_id"]),
+            )
+            for it, (ori, dil), out in zip(
+                my[b0: b0 + batch_size], loaded, outs
+            ):
+                final = blend_background(ori, out, dil) if blending else out
+                save_image(final, it["inp_img_path"])
+                results.append(dict(it))
+    else:
+        for i, it in enumerate(my):
+            ori, dil = load(it)
+            out = pipe.background_generation(
+                ori, dil, "empty scene",
+                guidance_scale=guidance_scale, eta=eta, end_step=end_step,
+                num_step=num_step, start_step=start_step,
+                end_scale=end_scale,
+                seed=_instance_seed(seed, it["da_n"], it["ins_id"]),
+            )
+            final = blend_background(ori, out, dil) if blending else out
+            save_image(final, it["inp_img_path"])
+            results.append(dict(it))
+            if (i + 1) % 10 == 0:
+                rate = (i + 1) / (time.time() - t0) * 60
+                progress(f"[proc {pidx}] {i+1}/{len(my)} ({rate:.1f} bg/min)")
+
+    gathered = _allgather_results(results)
+    if pidx != 0:
+        return None
+    merged: Dict = {}
+    for item in done + [r for lst in gathered for r in lst]:
+        merged.setdefault(item["da_n"], {}).setdefault(
+            "instances", {}
+        )[item["ins_id"]] = item
+    out_path = osp.join(dst_base, f"bggen_results_{bench}.json")
+    save_json(merged, out_path)
+    progress(f"[proc 0] wrote {out_path}; backgrounds in {inp_dir}")
+    return merged
+
+
 def run_geobench_inference(
     pipe,
     annotations_json: str,
@@ -107,6 +286,13 @@ def run_geobench_inference(
 
     Returns the merged results dict on process 0 (None elsewhere).
     """
+    if task == "bggen":
+        return run_geobench_bggen(
+            pipe, annotations_json, dst_base,
+            num_step=num_step, start_step=start_step or 1,
+            guidance_scale=guidance_scale, eta=eta, seed=seed,
+            max_cases=max_cases, progress=progress,
+        )
     if start_step is None:
         start_step = 15 if task == "3d" else 35
     pidx, pcount = maybe_initialize_distributed()

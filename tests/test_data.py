@@ -124,6 +124,89 @@ def test_harness_end_to_end(tmp_path):
     assert osp.exists(tmp_path / "generated_results_freefine_2d.json")
 
 
+def test_gaussian_blur_matches_cv2(rng_np):
+    cv2 = pytest.importorskip("cv2")
+    from freefine_tpu.parallel.harness import gaussian_blur_mask
+
+    m = (rng_np.random((40, 40)) > 0.6).astype(np.float32)
+    got = gaussian_blur_mask(m, 21)
+    want = cv2.GaussianBlur(m, (21, 21), 0)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_blend_background_soft_edge():
+    from freefine_tpu.parallel.harness import blend_background
+
+    ori = np.full((64, 64, 3), 200, np.uint8)
+    gen = np.zeros((64, 64, 3), np.uint8)
+    mask = np.zeros((64, 64), np.float32)
+    mask[16:48, 16:48] = 1.0
+    out = blend_background(ori, gen, mask)
+    assert (out[32, 32] == 0).all()          # inside: generated
+    assert (out[2, 2] == 200).all()          # far outside: original
+    halo = out[16:48, 13, 0].astype(int)     # just outside: soft
+    assert (halo > 0).any() and (halo < 200).any()
+
+
+@pytest.mark.slow
+def test_harness_bggen_task(tmp_path):
+    """bggen pass writes inp_img_blended/ + resumes by existence, and the 2D
+    run consumes it via inp_img_dir."""
+    from freefine_tpu.config import tiny_pipeline_config
+    from freefine_tpu.parallel.harness import (
+        run_geobench_bggen,
+        run_geobench_inference,
+    )
+    from freefine_tpu.pipeline import FreeFine
+
+    ann, _ = _mini_annotations(tmp_path, n_da=1, n_ins=2, n_edit=1)
+    pipe = FreeFine(config=tiny_pipeline_config(), init_random=True)
+    merged = run_geobench_bggen(
+        pipe, ann, str(tmp_path), num_step=4, start_step=1, end_step=2,
+        progress=lambda s: None,
+    )
+    assert merged is not None
+    inp_dir = tmp_path / "Geo-Bench-2D" / "inp_img_blended"
+    inps = [
+        v["inp_img_path"]
+        for da in merged.values()
+        for v in da["instances"].values()
+    ]
+    assert len(inps) == 2 and all(osp.exists(p) for p in inps)
+    assert all(str(inp_dir) in p for p in inps)
+
+    # resume: second run does nothing new but reports both as done
+    merged2 = run_geobench_bggen(
+        pipe, ann, str(tmp_path), num_step=4, start_step=1, end_step=2,
+        progress=lambda s: None,
+    )
+    assert len(merged2["da0"]["instances"]) == 2
+
+    # the 2D task consumes the blended backgrounds
+    out = run_geobench_inference(
+        pipe, ann, str(tmp_path), task="2d",
+        num_step=4, start_step=2, max_cases=1,
+        inp_img_dir=str(inp_dir), progress=lambda s: None,
+    )
+    assert out is not None
+
+
+@pytest.mark.slow
+def test_harness_bggen_batched(tmp_path):
+    """batch_size=2 routes through BatchedFreeFine with tail padding."""
+    from freefine_tpu.config import tiny_pipeline_config
+    from freefine_tpu.parallel.harness import run_geobench_bggen
+    from freefine_tpu.pipeline import FreeFine
+
+    ann, _ = _mini_annotations(tmp_path, n_da=1, n_ins=3, n_edit=1)
+    pipe = FreeFine(config=tiny_pipeline_config(), init_random=True)
+    merged = run_geobench_bggen(
+        pipe, ann, str(tmp_path), num_step=4, start_step=1, end_step=2,
+        batch_size=2, progress=lambda s: None,
+    )
+    assert merged is not None and len(merged["da0"]["instances"]) == 3
+
+
 @pytest.mark.slow
 def test_harness_3d_task(tmp_path):
     """3D harness conventions: precomputed coarse + draw/mesh masks."""
