@@ -62,9 +62,10 @@ def _use_flash(*seqs: int) -> bool:
 class flash_suspended:
     """Trace-time context that forces the einsum attention path.
 
-    The Pallas kernels have no custom VJP, so any graph that will be
-    differentiated (energy guidance's jax.grad through the UNet,
-    ops/guidance.py) must trace with this context active."""
+    Every Pallas attention kernel now has a custom VJP (`flash_sdpa_diff`,
+    `tca_flash_diff`), so differentiated graphs — energy guidance's jax.grad
+    through the UNet, ops/guidance.py — keep the flash kernels.  This
+    context remains as a debugging escape hatch (einsum golden path)."""
 
     def __enter__(self):
         global _FLASH_SUSPENDED
@@ -153,13 +154,16 @@ def _tca_fused(
     """Fused TCA path: ecg*(tq*attn_fg + (1-tq)*attn_bg) + (1-ecg)*self.
 
     Returns None when the flash kernel is not applicable (then callers use
-    the einsum composite)."""
+    the einsum composite).  Routes through the custom-VJP variant so graphs
+    that differentiate through TCA (energy-guided editing) keep Pallas —
+    outside differentiation its primal body is the single-output kernel."""
     if not _use_flash(q.shape[1]):
         return None
-    from freefine_tpu.ops.flash_attention import tca_flash
+    from freefine_tpu.ops.flash_attention import tca_flash_diff
 
-    return tca_flash(
-        q, k_self, v_self, k_mod, v_mod, fg_rows, tq_rows, ecg, heads=heads
+    return tca_flash_diff(
+        q, k_self, v_self, k_mod, v_mod, fg_rows, tq_rows,
+        jnp.asarray(ecg, jnp.float32), heads,
     )
 
 

@@ -535,3 +535,390 @@ def _flash_sdpa_bwd(heads, block_q, block_k, res, g):
 
 
 flash_sdpa_diff.defvjp(_flash_sdpa_fwd, _flash_sdpa_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused TCA VJP: differentiable three-attention composite
+# ---------------------------------------------------------------------------
+
+
+def _tca_fwd_lse_kernel(
+    q_ref, ks_ref, vs_ref, km_ref, vm_ref, fg_ref, tq_ref, cg_ref,
+    o_ref, os_ref, of_ref, ob_ref, lses_ref, lsef_ref, lseb_ref,
+    ms_s, ls_s, accs_s, mf_s, lf_s, accf_s, mb_s, lb_s, accb_s,
+    *, scale,
+):
+    """Forward TCA emitting the composite plus the three partial outputs and
+    their logsumexps (residuals for the flash backward)."""
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        for m in (ms_s, mf_s, mb_s):
+            m[:] = jnp.full_like(m, _M_INIT)
+        for l in (ls_s, lf_s, lb_s):
+            l[:] = jnp.zeros_like(l)
+        for a in (accs_s, accf_s, accb_s):
+            a[:] = jnp.zeros_like(a)
+
+    q = q_ref[0].astype(jnp.float32)
+    fg = fg_ref[0, 0][None, :]
+
+    def update(s, m_s, l_s, acc_s, v):
+        m_prev = m_s[:, 0]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
+        corr = jnp.exp(m_prev - m_cur)
+        p = jnp.exp(s - m_cur[:, None])
+        l_s[:, 0] = l_s[:, 0] * corr + jnp.sum(p, axis=1)
+        acc_s[:] = acc_s[:] * corr[:, None] + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m_s[:, 0] = m_cur
+
+    ks = ks_ref[0].astype(jnp.float32)
+    vs = vs_ref[0].astype(jnp.float32)
+    s_self = jax.lax.dot_general(
+        q, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    update(s_self, ms_s, ls_s, accs_s, vs)
+
+    km = km_ref[0].astype(jnp.float32)
+    vm = vm_ref[0].astype(jnp.float32)
+    s_mod = jax.lax.dot_general(
+        q, km, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    update(s_mod + (fg - 1.0) * -NEG_INF, mf_s, lf_s, accf_s, vm)
+    update(s_mod + fg * NEG_INF, mb_s, lb_s, accb_s, vm)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        l_se = jnp.maximum(ls_s[:, 0], 1e-30)
+        l_fg = jnp.maximum(lf_s[:, 0], 1e-30)
+        l_bg = jnp.maximum(lb_s[:, 0], 1e-30)
+        out_self = accs_s[:] / l_se[:, None]
+        out_fg = accf_s[:] / l_fg[:, None]
+        out_bg = accb_s[:] / l_bg[:, None]
+        tq = tq_ref[0][0][:, None]
+        cg = cg_ref[0, 0]
+        modulated = tq * out_fg + (1.0 - tq) * out_bg
+        o_ref[0] = (cg * modulated + (1.0 - cg) * out_self).astype(o_ref.dtype)
+        os_ref[0] = out_self.astype(os_ref.dtype)
+        of_ref[0] = out_fg.astype(of_ref.dtype)
+        ob_ref[0] = out_bg.astype(ob_ref.dtype)
+        lses_ref[0, :, 0] = ms_s[:, 0] + jnp.log(l_se)
+        lsef_ref[0, :, 0] = mf_s[:, 0] + jnp.log(l_fg)
+        lseb_ref[0, :, 0] = mb_s[:, 0] + jnp.log(l_bg)
+
+
+def _tca_bwd_dq_kernel(
+    q_ref, ks_ref, vs_ref, km_ref, vm_ref, fg_ref, tq_ref, cg_ref, do_ref,
+    lses_ref, lsef_ref, lseb_ref, ds_ref, df_ref, db_ref,
+    dq_ref, acc_s,
+    *, scale,
+):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_s[:] = jnp.zeros_like(acc_s)
+
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    fg = fg_ref[0, 0][None, :]
+    tq = tq_ref[0][0][:, None]
+    cg = cg_ref[0, 0]
+    do_self = (1.0 - cg) * do
+    do_fg = (cg * tq) * do
+    do_bg = (cg * (1.0 - tq)) * do
+
+    ks = ks_ref[0].astype(jnp.float32)
+    vs = vs_ref[0].astype(jnp.float32)
+    s_self = jax.lax.dot_general(
+        q, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p_self = jnp.exp(s_self - lses_ref[0, :, 0][:, None])
+    dp = jax.lax.dot_general(
+        do_self, vs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p_self * (dp - ds_ref[0, :, 0][:, None])
+    acc_s[:] = acc_s[:] + jax.lax.dot_general(
+        ds, ks, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+
+    km = km_ref[0].astype(jnp.float32)
+    vm = vm_ref[0].astype(jnp.float32)
+    s_mod = jax.lax.dot_general(
+        q, km, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    dp_m = jax.lax.dot_general(
+        do_fg, vm, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p_fg = jnp.exp(s_mod + (fg - 1.0) * -NEG_INF - lsef_ref[0, :, 0][:, None])
+    ds_m = p_fg * (dp_m - df_ref[0, :, 0][:, None])
+    dp_b = jax.lax.dot_general(
+        do_bg, vm, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p_bg = jnp.exp(s_mod + fg * NEG_INF - lseb_ref[0, :, 0][:, None])
+    ds_m = ds_m + p_bg * (dp_b - db_ref[0, :, 0][:, None])
+    acc_s[:] = acc_s[:] + jax.lax.dot_general(
+        ds_m, km, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+
+    @pl.when(ki == nk - 1)
+    def _():
+        dq_ref[0] = acc_s[:].astype(dq_ref.dtype)
+
+
+def _tca_bwd_dkv_kernel(
+    q_ref, ks_ref, vs_ref, km_ref, vm_ref, fg_ref, tq_ref, cg_ref, do_ref,
+    lses_ref, lsef_ref, lseb_ref, ds_ref, df_ref, db_ref,
+    dks_ref, dvs_ref, dkm_ref, dvm_ref,
+    dks_s, dvs_s, dkm_s, dvm_s,
+    *, scale,
+):
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _():
+        for s in (dks_s, dvs_s, dkm_s, dvm_s):
+            s[:] = jnp.zeros_like(s)
+
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    fg = fg_ref[0, 0][None, :]
+    tq = tq_ref[0][0][:, None]
+    cg = cg_ref[0, 0]
+    do_self = (1.0 - cg) * do
+    do_fg = (cg * tq) * do
+    do_bg = (cg * (1.0 - tq)) * do
+
+    ks = ks_ref[0].astype(jnp.float32)
+    vs = vs_ref[0].astype(jnp.float32)
+    s_self = jax.lax.dot_general(
+        q, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p_self = jnp.exp(s_self - lses_ref[0, :, 0][:, None])
+    dvs_s[:] = dvs_s[:] + jax.lax.dot_general(
+        p_self, do_self, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do_self, vs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p_self * (dp - ds_ref[0, :, 0][:, None])
+    dks_s[:] = dks_s[:] + jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+
+    km = km_ref[0].astype(jnp.float32)
+    vm = vm_ref[0].astype(jnp.float32)
+    s_mod = jax.lax.dot_general(
+        q, km, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p_fg = jnp.exp(s_mod + (fg - 1.0) * -NEG_INF - lsef_ref[0, :, 0][:, None])
+    p_bg = jnp.exp(s_mod + fg * NEG_INF - lseb_ref[0, :, 0][:, None])
+    dvm_s[:] = dvm_s[:] + jax.lax.dot_general(
+        p_fg, do_fg, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        p_bg, do_bg, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp_m = jax.lax.dot_general(
+        do_fg, vm, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds_m = p_fg * (dp_m - df_ref[0, :, 0][:, None])
+    dp_b = jax.lax.dot_general(
+        do_bg, vm, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds_m = ds_m + p_bg * (dp_b - db_ref[0, :, 0][:, None])
+    dkm_s[:] = dkm_s[:] + jax.lax.dot_general(
+        ds_m, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+
+    @pl.when(qi == nq - 1)
+    def _():
+        dks_ref[0] = dks_s[:].astype(dks_ref.dtype)
+        dvs_ref[0] = dvs_s[:].astype(dvs_ref.dtype)
+        dkm_ref[0] = dkm_s[:].astype(dkm_ref.dtype)
+        dvm_ref[0] = dvm_s[:].astype(dvm_ref.dtype)
+
+
+def _tca_prep(q, k_self, v_self, k_mod, v_mod, fg, tq, cg, heads, block_q,
+              block_k):
+    b, s, e = q.shape
+    d = e // heads
+    bq = _pick_block(s, block_q)
+    bk = _pick_block(s, block_k)
+    split = lambda x: _flash_heads(x, b, s, heads, d)  # noqa: E731
+    arrs = tuple(split(x) for x in (q, k_self, v_self, k_mod, v_mod))
+    fgm = fg.astype(jnp.float32)[:, None, :]
+    tqm = tq.astype(jnp.float32)[:, None, :]
+    cgm = jnp.broadcast_to(jnp.asarray(cg, jnp.float32), (1, 1))
+    return arrs, fgm, tqm, cgm, (b, s, e, d, bq, bk)
+
+
+def _tca_in_specs(heads, bq, bk, d):
+    hh = heads
+    return [
+        pl.BlockSpec((1, bq, d), lambda h, qi, ki: (h, qi, 0)),
+        pl.BlockSpec((1, bk, d), lambda h, qi, ki: (h, ki, 0)),
+        pl.BlockSpec((1, bk, d), lambda h, qi, ki: (h, ki, 0)),
+        pl.BlockSpec((1, bk, d), lambda h, qi, ki: (h, ki, 0)),
+        pl.BlockSpec((1, bk, d), lambda h, qi, ki: (h, ki, 0)),
+        pl.BlockSpec((1, 1, bk), lambda h, qi, ki: (h // hh, 0, ki)),
+        pl.BlockSpec((1, 1, bq), lambda h, qi, ki: (h // hh, 0, qi)),
+        pl.BlockSpec((1, 1), lambda h, qi, ki: (0, 0), memory_space=pltpu.SMEM),
+    ]
+
+
+def _tca_fwd_lse(q, k_self, v_self, k_mod, v_mod, fg, tq, cg, heads,
+                 block_q, block_k):
+    arrs, fgm, tqm, cgm, (b, s, e, d, bq, bk) = _tca_prep(
+        q, k_self, v_self, k_mod, v_mod, fg, tq, cg, heads, block_q, block_k
+    )
+    scale = 1.0 / (d ** 0.5)
+    grid = (b * heads, s // bq, s // bk)
+    o_spec = pl.BlockSpec((1, bq, d), lambda h, qi, ki: (h, qi, 0))
+    l_spec = pl.BlockSpec((1, bq, 1), lambda h, qi, ki: (h, qi, 0))
+    od = jax.ShapeDtypeStruct((b * heads, s, d), q.dtype)
+    of32 = jax.ShapeDtypeStruct((b * heads, s, d), jnp.float32)
+    lse = jax.ShapeDtypeStruct((b * heads, s, 1), jnp.float32)
+    outs = pl.pallas_call(
+        functools.partial(_tca_fwd_lse_kernel, scale=scale),
+        interpret=jax.default_backend() != "tpu",
+        grid=grid,
+        in_specs=_tca_in_specs(heads, bq, bk, d),
+        out_specs=(o_spec, o_spec, o_spec, o_spec, l_spec, l_spec, l_spec),
+        out_shape=(od, of32, of32, of32, lse, lse, lse),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32), pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32), pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32), pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+    )(*arrs, fgm, tqm, cgm)
+    o = _flash_unheads(outs[0], b, s, heads, d)
+    return o, outs[1:]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def tca_flash_diff(q, k_self, v_self, k_mod, v_mod, fg_key_mask, tq_mask,
+                   context_guidance, heads, block_q=512, block_k=512):
+    """Differentiable fused TCA (same semantics as `tca_flash`).
+
+    The backward pass recomputes all three attention matrices blockwise from
+    the saved per-pass logsumexps and accumulates dq / d(k,v)_self /
+    d(k,v)_mod in two Pallas kernels; masks and the guidance scalar get zero
+    gradients (they are schedule data, not learnable).
+
+    Outside differentiation JAX calls this primal body, which routes to the
+    single-output forward kernel — the residual-emitting forward (3 extra
+    [BH,S,D] f32 outputs + 3 logsumexps) only runs under jax.grad/vjp."""
+    return tca_flash(
+        q, k_self, v_self, k_mod, v_mod, fg_key_mask, tq_mask,
+        context_guidance, heads=heads, block_q=block_q, block_k=block_k,
+    )
+
+
+def _tca_diff_fwd(q, k_self, v_self, k_mod, v_mod, fg, tq, cg, heads,
+                  block_q, block_k):
+    out, (o_self, o_fg, o_bg, lse_s, lse_f, lse_b) = _tca_fwd_lse(
+        q, k_self, v_self, k_mod, v_mod, fg, tq, cg, heads, block_q, block_k
+    )
+    res = (q, k_self, v_self, k_mod, v_mod, fg, tq, cg,
+           o_self, o_fg, o_bg, lse_s, lse_f, lse_b)
+    return out, res
+
+
+def _tca_diff_bwd(heads, block_q, block_k, res, g):
+    (q, k_self, v_self, k_mod, v_mod, fg, tq, cg,
+     o_self, o_fg, o_bg, lse_s, lse_f, lse_b) = res
+    arrs, fgm, tqm, cgm, (b, s, e, d, bq, bk) = _tca_prep(
+        q, k_self, v_self, k_mod, v_mod, fg, tq, cg, heads, block_q, block_k
+    )
+    qh, ksh, vsh, kmh, vmh = arrs
+    doh = _flash_heads(g.astype(q.dtype), b, s, heads, d)
+    scale = 1.0 / (d ** 0.5)
+    interp = jax.default_backend() != "tpu"
+
+    # Weighted per-pass deltas: delta_x = rowsum(o_x * do_x) with
+    # do_self = (1-cg) g, do_fg = cg*tq*g, do_bg = cg*(1-tq)*g.
+    do32 = doh.astype(jnp.float32)
+    cg32 = jnp.asarray(cg, jnp.float32)
+    tqh = jnp.repeat(tq.astype(jnp.float32), heads, axis=0)[:, :, None]
+    d_self = jnp.sum(o_self * do32, -1, keepdims=True) * (1.0 - cg32)
+    d_fg = jnp.sum(o_fg * do32, -1, keepdims=True) * (cg32 * tqh)
+    d_bg = jnp.sum(o_bg * do32, -1, keepdims=True) * (cg32 * (1.0 - tqh))
+
+    in_specs = _tca_in_specs(heads, bq, bk, d) + [
+        pl.BlockSpec((1, bq, d), lambda h, qi, ki: (h, qi, 0)),   # do
+        pl.BlockSpec((1, bq, 1), lambda h, qi, ki: (h, qi, 0)),   # lse_s
+        pl.BlockSpec((1, bq, 1), lambda h, qi, ki: (h, qi, 0)),   # lse_f
+        pl.BlockSpec((1, bq, 1), lambda h, qi, ki: (h, qi, 0)),   # lse_b
+        pl.BlockSpec((1, bq, 1), lambda h, qi, ki: (h, qi, 0)),   # d_self
+        pl.BlockSpec((1, bq, 1), lambda h, qi, ki: (h, qi, 0)),   # d_fg
+        pl.BlockSpec((1, bq, 1), lambda h, qi, ki: (h, qi, 0)),   # d_bg
+    ]
+    args = (qh, ksh, vsh, kmh, vmh, fgm, tqm, cgm, doh,
+            lse_s, lse_f, lse_b, d_self, d_fg, d_bg)
+
+    dq = pl.pallas_call(
+        functools.partial(_tca_bwd_dq_kernel, scale=scale),
+        interpret=interp,
+        grid=(b * heads, s // bq, s // bk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bq, d), lambda h, qi, ki: (h, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * heads, s, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+    )(*args)
+
+    # dkv sweep: grid loops queries innermost; swap the (qi, ki) roles in the
+    # index maps (block row = ki).
+    hh = heads
+    kv_in_specs = [
+        pl.BlockSpec((1, bq, d), lambda h, ki, qi: (h, qi, 0)),
+        pl.BlockSpec((1, bk, d), lambda h, ki, qi: (h, ki, 0)),
+        pl.BlockSpec((1, bk, d), lambda h, ki, qi: (h, ki, 0)),
+        pl.BlockSpec((1, bk, d), lambda h, ki, qi: (h, ki, 0)),
+        pl.BlockSpec((1, bk, d), lambda h, ki, qi: (h, ki, 0)),
+        pl.BlockSpec((1, 1, bk), lambda h, ki, qi: (h // hh, 0, ki)),
+        pl.BlockSpec((1, 1, bq), lambda h, ki, qi: (h // hh, 0, qi)),
+        pl.BlockSpec((1, 1), lambda h, ki, qi: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, bq, d), lambda h, ki, qi: (h, qi, 0)),
+        pl.BlockSpec((1, bq, 1), lambda h, ki, qi: (h, qi, 0)),
+        pl.BlockSpec((1, bq, 1), lambda h, ki, qi: (h, qi, 0)),
+        pl.BlockSpec((1, bq, 1), lambda h, ki, qi: (h, qi, 0)),
+        pl.BlockSpec((1, bq, 1), lambda h, ki, qi: (h, qi, 0)),
+        pl.BlockSpec((1, bq, 1), lambda h, ki, qi: (h, qi, 0)),
+        pl.BlockSpec((1, bq, 1), lambda h, ki, qi: (h, qi, 0)),
+    ]
+    kv_spec = pl.BlockSpec((1, bk, d), lambda h, ki, qi: (h, ki, 0))
+    kv_shape = jax.ShapeDtypeStruct((b * heads, s, d), k_self.dtype)
+    dks, dvs, dkm, dvm = pl.pallas_call(
+        functools.partial(_tca_bwd_dkv_kernel, scale=scale),
+        interpret=interp,
+        grid=(b * heads, s // bk, s // bq),
+        in_specs=kv_in_specs,
+        out_specs=(kv_spec, kv_spec, kv_spec, kv_spec),
+        out_shape=(kv_shape, kv_shape, kv_shape, kv_shape),
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), jnp.float32), pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32), pltpu.VMEM((bk, d), jnp.float32),
+        ],
+    )(*args)
+
+    unh = lambda x: _flash_unheads(x, b, s, heads, d)  # noqa: E731
+    return (
+        unh(dq), unh(dks), unh(dvs), unh(dkm), unh(dvm),
+        jnp.zeros_like(fg), jnp.zeros_like(tq),
+        jnp.zeros_like(jnp.asarray(cg, jnp.float32)),
+    )
+
+
+tca_flash_diff.defvjp(_tca_diff_fwd, _tca_diff_bwd)

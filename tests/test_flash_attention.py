@@ -159,6 +159,91 @@ def test_flash_sdpa_vjp_matches_einsum_grads(qkv, rng_np):
     np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), atol=3e-4)
 
 
+def test_tca_flash_diff_forward_matches(qkv, rng_np):
+    from freefine_tpu.ops.flash_attention import tca_flash_diff
+
+    q, k, v = qkv
+    fg = jnp.asarray((rng_np.random(SEQ) > 0.5).astype(np.float32))
+    tgt = jnp.asarray((rng_np.random(SEQ) > 0.4).astype(np.float32))
+    kc, vc = k[jnp.array([1, 1, 3, 3])], v[jnp.array([1, 1, 3, 3])]
+    got = tca_flash_diff(
+        q, k, v, kc, vc, A._edit_rows(fg), A._edit_rows(tgt),
+        jnp.float32(0.7), HEADS, 128, 128,
+    )
+    want = _einsum_tca(q, k, v, fg, tgt, 0.7)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+    # under vjp the residual-emitting forward must agree too
+    got_vjp, _ = jax.vjp(
+        lambda q_, ks_, vs_, km_, vm_: tca_flash_diff(
+            q_, ks_, vs_, km_, vm_, A._edit_rows(fg), A._edit_rows(tgt),
+            jnp.float32(0.7), HEADS, 128, 128,
+        ),
+        q, k, v, kc, vc,
+    )
+    np.testing.assert_allclose(np.asarray(got_vjp), np.asarray(want), atol=3e-5)
+
+
+def test_tca_flash_vjp_matches_einsum_grads(qkv, rng_np):
+    """TCA flash backward vs autodiff through the einsum composite — all five
+    differentiable inputs (q, k/v self, k/v modulated)."""
+    from freefine_tpu.ops.flash_attention import tca_flash_diff
+
+    q, k, v = qkv
+    fg = jnp.asarray((rng_np.random(SEQ) > 0.5).astype(np.float32))
+    tgt = jnp.asarray((rng_np.random(SEQ) > 0.4).astype(np.float32))
+    cg = 0.7
+    out_tgt = jnp.asarray(rng_np.normal(size=(4, SEQ, DIM)).astype(np.float32))
+
+    def loss_flash(q, ks, vs, km, vm):
+        out = tca_flash_diff(
+            q, ks, vs, km, vm, A._edit_rows(fg), A._edit_rows(tgt),
+            jnp.float32(cg), HEADS, 128, 128,
+        )
+        return jnp.sum((out - out_tgt) ** 2)
+
+    def loss_ref(q, ks, vs, km, vm):
+        rows_fg = A._edit_rows(fg)
+        rows_tq = A._edit_rows(tgt)
+        attn_fg = A.sdpa(q, km, vm, HEADS, A.key_bias(rows_fg))
+        attn_bg = A.sdpa(q, km, vm, HEADS, A.key_bias(1.0 - rows_fg))
+        tq = rows_tq[:, :, None]
+        modulated = tq * attn_fg + (1.0 - tq) * attn_bg
+        out = cg * modulated + (1.0 - cg) * A.sdpa(q, ks, vs, HEADS)
+        return jnp.sum((out - out_tgt) ** 2)
+
+    kc, vc = k[jnp.array([1, 1, 3, 3])], v[jnp.array([1, 1, 3, 3])]
+    got = jax.grad(loss_flash, argnums=(0, 1, 2, 3, 4))(q, k, v, kc, vc)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, kc, vc)
+    for g, w, name in zip(got, want, ("dq", "dks", "dvs", "dkm", "dvm")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=5e-4, err_msg=name
+        )
+
+
+def test_dispatch_tca_grad_through_flash(qkv, rng_np, monkeypatch):
+    """jax.grad through the full edit TCA dispatch with flash forced matches
+    the einsum dispatch gradient (the energy-guidance code path)."""
+    q, k, v = qkv
+    fg = jnp.asarray((rng_np.random(SEQ) > 0.5).astype(np.float32))
+    tgt = jnp.asarray(rng_np.random(SEQ).astype(np.float32))
+    cfg = EditConfig(mode="edit", method="tca")
+    state = EditState(
+        fg_ref={SEQ: fg}, fg_retain={SEQ: tgt}, local_region={SEQ: tgt},
+        context_guidance=jnp.float32(0.6),
+    )
+
+    def loss(q):
+        return jnp.sum(
+            A.edit_self_attention(q, k, v, HEADS, cfg, state, 12, "up") ** 2
+        )
+
+    want = jax.grad(loss)(q)
+    monkeypatch.setattr(A, "FLASH_MODE", "1")
+    got = jax.grad(loss)(q)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4)
+
+
 def test_flash_sdpa_vjp_unmasked(qkv, rng_np):
     from freefine_tpu.ops.flash_attention import flash_sdpa_diff
 
