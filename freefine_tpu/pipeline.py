@@ -35,6 +35,7 @@ prompt (see `edit_cross_attention` compose branch).
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import functools
 import os
@@ -345,14 +346,27 @@ class FreeFine:
             "text": self.text_encoder.init(r3, ids),
         }
 
+    @staticmethod
+    def _split_text(text_emb):
+        """Text conditioning may be a plain context array or a
+        (context, added_cond) tuple (SDXL micro-conditioning)."""
+        if isinstance(text_emb, tuple):
+            return text_emb
+        return text_emb, None
+
     def _unet_apply_plain(self, params, sample, t, ctx):
-        return self.unet.apply(params["unet"], sample, t, ctx)
+        ctx, added = self._split_text(ctx)
+        return self.unet.apply(params["unet"], sample, t, ctx, added_cond=added)
 
     def _make_unet_apply(self, ecfg: EditConfig):
         def apply(params, sample, t, ctx, _ecfg, state, ctx_extra=None):
+            ctx, added = self._split_text(ctx)
+            if ctx_extra is not None:
+                ctx_extra = self._split_text(ctx_extra)[0]
             return self.unet.apply(
                 params["unet"], sample, t, ctx,
                 edit_cfg=ecfg, edit_state=state, context_extra=ctx_extra,
+                added_cond=added,
             )
         return apply
 
@@ -404,9 +418,23 @@ class FreeFine:
                     unet_apply, p, schedule, lat, emb, num_actual
                 )
             )
-        uncond = self.encode_text([""])
-        emb = jnp.tile(uncond, (latents.shape[0], 1, 1))
+        emb = self._inversion_text_embeddings(latents.shape[0])
         return self._jit_cache[key](self.params, latents, emb)
+
+    def _inversion_text_embeddings(self, batch: int):
+        """Per-stream unconditional context for DDIM inversion
+        (guidance 1.0, model.py:1360)."""
+        uncond = self.encode_text([""])
+        return jnp.tile(uncond, (batch, 1, 1))
+
+    def _stream_text_embeddings(self, texts: Sequence[str]):
+        """Per-stream conditioning for the compose loop (hook point for the
+        SDXL dual-encoder pipeline)."""
+        return self.encode_text(texts)
+
+    def _extra_text_embeddings(self, texts: Sequence[str]):
+        """Region-prompt K/V source for compose local cross-attention."""
+        return self.encode_text(texts)
 
     def _schedule(self, num_step: int) -> DDIMSchedule:
         if num_step not in self._schedules:
@@ -653,8 +681,8 @@ class FreeFine:
         stream_texts = [""] + (
             list(guidance_text_list) + [""] * n
         )[:n] + [""]
-        text_emb = self.encode_text(stream_texts)
-        text_extra = self.encode_text(prompts)
+        text_emb = self._stream_text_embeddings(stream_texts)
+        text_extra = self._extra_text_embeddings(prompts)
 
         key = (
             "compose", num_step, start_step, ecfg, guidance_scale, eta,
@@ -819,16 +847,60 @@ def _stack_states(states):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
 
 
+def _stack_masks_np(masks, h: int, w: int) -> np.ndarray:
+    """Host-side: raw masks (any dtype, [H,W] or [H,W,C]) -> one [N, h, w]
+    float32 stack.  Resizing (nearest, matching `masks.prepare_mask`) only
+    happens when a case isn't already at the pipeline resolution, so the
+    batched prep below sees uniform shapes."""
+    out = []
+    for m in masks:
+        a = np.asarray(m)
+        if a.ndim == 3:
+            a = a[..., 0]
+        a = a.astype(np.float32)
+        if a.shape != (h, w):
+            a = np.asarray(
+                jax.image.resize(jnp.asarray(a), (h, w), method="nearest")
+            )
+        out.append(a)
+    return np.stack(out)
+
+
+class _NullTimer:
+    """StageTimer-compatible no-op (profiling off by default)."""
+
+    @contextlib.contextmanager
+    def stage(self, name):
+        yield
+
+
 class BatchedFreeFine:
-    """Multi-case batched `generation` on top of a FreeFine pipeline.
+    """Multi-case batched editing on top of a FreeFine pipeline.
 
     Processes N independent GeoBench-style cases per device step: the UNet
     batch becomes N*4 streams, amortising launch overheads and filling the
-    MXU at small resolutions.
+    MXU at small resolutions.  All host->device prep is batched too — ONE
+    VAE-encode call, ONE text-encode call and ONE vmapped mask-prep call per
+    batch (the reference harness is locked to batch 1,
+    freefine_batch_infer_2d.py:170).
+
+    Pass a `freefine_tpu.utils.profiling.StageTimer` as `timer=` to any
+    method to get per-stage wall-clock records (prep/encode/edit/decode).
     """
 
     def __init__(self, pipe: "FreeFine"):
         self.pipe = pipe
+
+    # -- shared prep -----------------------------------------------------
+
+    def _encode_images(self, images: np.ndarray) -> jnp.ndarray:
+        """[B, H, W, 3] uint8 -> [B, lh, lw, 4] in one device call."""
+        return self.pipe.image_to_latent(images)
+
+    def _uncond_and_conds(self, texts):
+        """ONE text-encode for [uncond] + per-case prompts."""
+        embs = self.pipe.encode_text([""] + list(texts))
+        return embs[0], embs[1:]
 
     def generation(
         self,
@@ -846,42 +918,68 @@ class BatchedFreeFine:
         reduce_inp_artifacts: bool = True,
         end_scale: float = 0.5,
         seed: int = 42,
+        timer=None,
     ):
         pipe = self.pipe
         cfg = pipe.config
         lh, lw = cfg.latent_height, cfg.latent_width
         n = len(cases)
+        tm = timer if timer is not None else _NullTimer()
 
-        lat2, text2, text4, states, cfg_masks, var_masks = [], [], [], [], [], []
-        uncond = pipe.encode_text([""])[0]
-        for case in cases:
-            coarse = pipe._prep_image(case["coarse_input"])
-            ori = pipe._prep_image(case["ori_img"])
-            lc = pipe.image_to_latent(coarse)
-            lr = pipe.image_to_latent(ori)
-            lat2.append(jnp.concatenate([lc, lr], axis=0))
-            text2.append(jnp.stack([uncond, uncond]))
-            embs = pipe.encode_text(["", case["guidance_text"]])
-            text4.append(jnp.stack([embs[0], embs[0], embs[1], embs[0]]))
-            em = mask_ops.prepare_various_mask(
-                jnp.asarray(case["target_mask"]), jnp.asarray(case["ori_mask"]),
-                None if case.get("draw_mask") is None
-                else jnp.asarray(case["draw_mask"]),
-                cfg.height, cfg.width, lh, lw,
-                use_auto_draw=use_auto_draw,
-                cons_area=jnp.asarray(
-                    case.get("cons_area",
-                             np.zeros((cfg.height, cfg.width), np.float32))
-                ),
-                reduce_inp_artifacts=reduce_inp_artifacts,
+        with tm.stage("prep_images"):
+            coarse = np.stack([pipe._prep_image(c["coarse_input"]) for c in cases])
+            ori = np.stack([pipe._prep_image(c["ori_img"]) for c in cases])
+        with tm.stage("vae_encode"):
+            lats = self._encode_images(np.concatenate([coarse, ori], axis=0))
+            lat2 = jnp.stack([lats[:n], lats[n:]], axis=1)  # [n, 2, lh, lw, 4]
+        with tm.stage("text_encode"):
+            uncond, conds = self._uncond_and_conds(
+                [c["guidance_text"] for c in cases]
             )
-            states.append(EditState(
-                fg_retain=build_mask_pyramid(em.fg_retain, lh, lw),
-                fg_ref=build_mask_pyramid(em.fg_ref, lh, lw),
-                local_region=build_mask_pyramid(em.fg_retain, lh, lw),
-            ))
-            cfg_masks.append(em.completion_cfg)
-            var_masks.append(em.local_var)
+            u = jnp.broadcast_to(uncond[None], (n,) + uncond.shape)
+            text2 = jnp.stack([u, u], axis=1)               # [n, 2, 77, D]
+            text4 = jnp.stack([u, u, conds, u], axis=1)     # [n, 4, 77, D]
+        with tm.stage("mask_prep"):
+            tgt = _stack_masks_np(
+                [c["target_mask"] for c in cases], cfg.height, cfg.width)
+            orim = _stack_masks_np(
+                [c["ori_mask"] for c in cases], cfg.height, cfg.width)
+            draws = [c.get("draw_mask") for c in cases]
+            has_draw = any(d is not None for d in draws)
+            if has_draw:
+                assert all(d is not None for d in draws), (
+                    "cannot batch cases with and without draw_mask together"
+                )
+                draw = _stack_masks_np(draws, cfg.height, cfg.width)
+            else:
+                draw = np.zeros((n, cfg.height, cfg.width), np.float32)
+            cons = _stack_masks_np(
+                [c.get("cons_area",
+                       np.zeros((cfg.height, cfg.width), np.float32))
+                 for c in cases],
+                cfg.height, cfg.width)
+
+            pkey = ("edit_batch_prep", n, use_auto_draw,
+                    reduce_inp_artifacts, has_draw)
+            if pkey not in pipe._jit_cache:
+                def prep(tgt1, ori1, draw1, cons1):
+                    em = mask_ops.prepare_various_mask(
+                        tgt1, ori1, draw1 if has_draw else None,
+                        cfg.height, cfg.width, lh, lw,
+                        use_auto_draw=use_auto_draw, cons_area=cons1,
+                        reduce_inp_artifacts=reduce_inp_artifacts,
+                    )
+                    st = EditState(
+                        fg_retain=build_mask_pyramid(em.fg_retain, lh, lw),
+                        fg_ref=build_mask_pyramid(em.fg_ref, lh, lw),
+                        local_region=build_mask_pyramid(em.fg_retain, lh, lw),
+                    )
+                    return st, em.completion_cfg, em.local_var
+
+                pipe._jit_cache[pkey] = jax.jit(jax.vmap(prep))
+            states, cfg_masks, var_masks = pipe._jit_cache[pkey](
+                tgt, orim, draw, cons
+            )
 
         method, cg, gates = _method_and_gates(
             method_type, start_step, end_step, num_step, end_scale
@@ -905,13 +1003,16 @@ class BatchedFreeFine:
                 jax.vmap(case_fn, in_axes=(None, 0, 0, 0, 0, None, None, 0, 0, 0))
             )
         rngs = jax.random.split(jax.random.key(seed), n)
-        out = pipe._jit_cache[key](
-            pipe.params, jnp.stack(lat2), jnp.stack(text2), jnp.stack(text4),
-            _stack_states(states), jnp.asarray(cg), jnp.asarray(gates),
-            jnp.stack(cfg_masks), jnp.stack(var_masks), rngs,
-        )
+        with tm.stage("edit"):
+            out = pipe._jit_cache[key](
+                pipe.params, lat2, text2, text4,
+                states, jnp.asarray(cg), jnp.asarray(gates),
+                cfg_masks, var_masks, rngs,
+            )
+            out = jax.block_until_ready(out)
         # decode all edit streams in one VAE batch
-        imgs = pipe.latent_to_image(out[:, 0])
+        with tm.stage("decode"):
+            imgs = pipe.latent_to_image(out[:, 0])
         return [imgs[i] for i in range(n)]
 
     def background_generation(
@@ -927,27 +1028,44 @@ class BatchedFreeFine:
         local_perturbation: bool = True,
         end_scale: float = 0.5,
         seed: int = 42,
+        timer=None,
     ):
         """Batched object removal: N independent cases per device step."""
         pipe = self.pipe
         cfg = pipe.config
         lh, lw = cfg.latent_height, cfg.latent_width
         n = len(cases)
+        tm = timer if timer is not None else _NullTimer()
 
-        lat1, text1, text4, states, lvars = [], [], [], [], []
-        uncond = pipe.encode_text([""])[0]
-        for case in cases:
-            ori = pipe._prep_image(case["ori_img"])
-            lat1.append(pipe.image_to_latent(ori))
-            text1.append(uncond[None])
-            embs = pipe.encode_text(["", case["guidance_text"]])
-            text4.append(jnp.stack([embs[0], embs[0], embs[1], embs[0]]))
-            mask_full, lv = mask_ops.prepare_mask_bggen(
-                jnp.asarray(case["ori_mask"]), cfg.height, cfg.width, lh, lw
+        with tm.stage("prep_images"):
+            ori = np.stack([pipe._prep_image(c["ori_img"]) for c in cases])
+        with tm.stage("vae_encode"):
+            lat1 = self._encode_images(ori)[:, None]        # [n, 1, lh, lw, 4]
+        with tm.stage("text_encode"):
+            uncond, conds = self._uncond_and_conds(
+                [c["guidance_text"] for c in cases]
             )
-            pyr = build_mask_pyramid(mask_full, lh, lw)
-            states.append(EditState(fg_retain=pyr, fg_ref=pyr, local_region=pyr))
-            lvars.append(lv)
+            u = jnp.broadcast_to(uncond[None], (n,) + uncond.shape)
+            text1 = u[:, None]                               # [n, 1, 77, D]
+            text4 = jnp.stack([u, u, conds, u], axis=1)
+        with tm.stage("mask_prep"):
+            masks = _stack_masks_np(
+                [c["ori_mask"] for c in cases], cfg.height, cfg.width)
+
+            pkey = ("bggen_batch_prep", n)
+            if pkey not in pipe._jit_cache:
+                def prep(m):
+                    mask_full, lv = mask_ops.prepare_mask_bggen(
+                        m, cfg.height, cfg.width, lh, lw
+                    )
+                    pyr = build_mask_pyramid(mask_full, lh, lw)
+                    return (
+                        EditState(fg_retain=pyr, fg_ref=pyr, local_region=pyr),
+                        lv,
+                    )
+
+                pipe._jit_cache[pkey] = jax.jit(jax.vmap(prep))
+            states, lvars = pipe._jit_cache[pkey](masks)
 
         method, cg, gates = _method_and_gates(
             method_type, start_step, end_step, num_step, end_scale
@@ -971,12 +1089,142 @@ class BatchedFreeFine:
                 jax.vmap(case_fn, in_axes=(None, 0, 0, 0, 0, None, None, 0, 0, 0))
             )
         rngs = jax.random.split(jax.random.key(seed), n)
-        out = pipe._jit_cache[key](
-            pipe.params, jnp.stack(lat1), jnp.stack(text1), jnp.stack(text4),
-            _stack_states(states), jnp.asarray(cg), jnp.asarray(gates),
-            jnp.stack(lvars), jnp.stack(lvars), rngs,
+        with tm.stage("edit"):
+            out = pipe._jit_cache[key](
+                pipe.params, lat1, text1, text4,
+                states, jnp.asarray(cg), jnp.asarray(gates),
+                lvars, lvars, rngs,
+            )
+            out = jax.block_until_ready(out)
+        with tm.stage("decode"):
+            imgs = pipe.latent_to_image(out[:, 0])
+        return [imgs[i] for i in range(n)]
+
+    def cross_image_composition(
+        self,
+        cases,  # dicts with img_lists / ori_mask_lists / tgt_mask_lists /
+                # coarse_input / guidance_text_list; all cases must share the
+                # source count and prompt count (one compiled graph)
+        guidance_scale: float = 7.5,
+        eta: float = 1.0,
+        end_step: int = 10,
+        num_step: int = 50,
+        start_step: int = 25,
+        method_type: str = "tca",
+        local_text_edit: bool = True,
+        local_perturbation: bool = True,
+        end_scale: float = 0.5,
+        dil_completion: bool = False,
+        dil_factor: int = 15,
+        appearance_transfer: bool = False,
+        seed: int = 42,
+        timer=None,
+    ):
+        """Batched N-image composition / appearance transfer."""
+        pipe = self.pipe
+        cfg = pipe.config
+        lh, lw = cfg.latent_height, cfg.latent_width
+        n = len(cases)
+        ns = len(cases[0]["img_lists"])
+        np_prompts = len(cases[0]["guidance_text_list"])
+        assert all(len(c["img_lists"]) == ns for c in cases), (
+            "all batched compose cases must have the same source count"
         )
-        imgs = pipe.latent_to_image(out[:, 0])
+        assert all(len(c["guidance_text_list"]) == np_prompts for c in cases)
+        tm = timer if timer is not None else _NullTimer()
+
+        with tm.stage("prep_images"):
+            imgs = []
+            for c in cases:
+                imgs.append(pipe._prep_image(c["coarse_input"]))
+                imgs.extend(pipe._prep_image(im) for im in c["img_lists"])
+            imgs = np.stack(imgs)                            # [n*(ns+1), ...]
+        with tm.stage("vae_encode"):
+            lats = self._encode_images(imgs).reshape(n, ns + 1, lh, lw, 4)
+        with tm.stage("text_encode"):
+            flat_prompts = [p for c in cases for p in c["guidance_text_list"]]
+            uncond, conds = self._uncond_and_conds(flat_prompts)
+            conds = conds.reshape((n, np_prompts) + conds.shape[1:])
+            u = jnp.broadcast_to(uncond[None], (n,) + uncond.shape)
+            # Per-stream context: [uncond, prompt_1..prompt_ns (pad ""), uncond]
+            stream_parts = [u[:, None]]
+            for i in range(ns):
+                stream_parts.append(
+                    conds[:, i][:, None] if i < np_prompts else u[:, None]
+                )
+            stream_parts.append(u[:, None])
+            text_emb = jnp.concatenate(stream_parts, axis=1)  # [n, ns+2, 77, D]
+            text_extra = jnp.concatenate(
+                [conds, u[:, None]], axis=1)                  # [n, P+1, 77, D]
+        with tm.stage("mask_prep"):
+            src_stack = np.stack([
+                _stack_masks_np(c["ori_mask_lists"], cfg.height, cfg.width)
+                for c in cases
+            ])                                                # [n, ns, H, W]
+            tgt_stack = np.stack([
+                _stack_masks_np(c["tgt_mask_lists"], cfg.height, cfg.width)
+                for c in cases
+            ])
+
+            pkey = ("compose_batch_prep", n, ns, dil_completion, dil_factor,
+                    appearance_transfer)
+            if pkey not in pipe._jit_cache:
+                def prep(src1, tgt1):
+                    cm = mask_ops.prepare_composition_masks(
+                        list(src1), list(tgt1), cfg.height, cfg.width, lh, lw,
+                        dil_completion=dil_completion, dil_factor=dil_factor,
+                        appearance_transfer=appearance_transfer,
+                    )
+                    st = EditState(
+                        src_masks=build_mask_stack_pyramid(cm.src_masks, lh, lw),
+                        tgt_masks=build_mask_stack_pyramid(cm.tgt_masks, lh, lw),
+                    )
+                    return st, cm.completion_cfg, cm.local_var
+
+                pipe._jit_cache[pkey] = jax.jit(jax.vmap(prep))
+            states, cfg_masks, var_masks = pipe._jit_cache[pkey](
+                src_stack, tgt_stack
+            )
+
+        method, cg, gates = _method_and_gates(
+            method_type, start_step, end_step, num_step, end_scale
+        )
+        p = np_prompts + 1
+        ecfg = EditConfig(
+            mode="compose", method=method, local_cfg=local_text_edit,
+            num_streams=ns + 2, num_sources=ns, prompt_length=p,
+        )
+        key = (
+            "compose_batch", n, ns, p, num_step, start_step, ecfg,
+            guidance_scale, eta, local_text_edit, local_perturbation,
+        )
+        if key not in pipe._jit_cache:
+            schedule = pipe._schedule(num_step)
+            case_fn = compose_case_fn(
+                pipe._unet_apply_plain, pipe._make_unet_apply(ecfg),
+                schedule, ecfg,
+                num_actual=num_step - start_step, start_step=start_step,
+                guidance_scale=guidance_scale, eta=eta,
+                local_text_edit=local_text_edit,
+                local_perturbation=local_perturbation,
+            )
+            pipe._jit_cache[key] = jax.jit(
+                jax.vmap(case_fn,
+                         in_axes=(None, 0, 0, 0, 0, 0, None, None, 0, 0, 0))
+            )
+        rngs = jax.random.split(jax.random.key(seed), n)
+        text_inv = jnp.broadcast_to(
+            uncond[None, None], (n, ns + 1) + uncond.shape
+        )
+        with tm.stage("edit"):
+            out = pipe._jit_cache[key](
+                pipe.params, lats, text_inv, text_emb, text_extra,
+                states, jnp.asarray(cg), jnp.asarray(gates),
+                cfg_masks, var_masks, rngs,
+            )
+            out = jax.block_until_ready(out)
+        with tm.stage("decode"):
+            imgs = pipe.latent_to_image(out[:, 0])
         return [imgs[i] for i in range(n)]
 
 
@@ -1116,6 +1364,37 @@ def bggen_case_fn(
         return sample_bggen_loop(
             unet_edit, params, schedule, ecfg, traj, text4, state, cg, gates,
             cfg_mask, var_mask, rng,
+            start_step=start_step, guidance_scale=guidance_scale, eta=eta,
+            local_text_edit=local_text_edit,
+            local_perturbation=local_perturbation,
+        )
+
+    return fn
+
+
+def compose_case_fn(
+    unet_plain,
+    unet_edit,
+    schedule: DDIMSchedule,
+    ecfg: EditConfig,
+    *,
+    num_actual: int,
+    start_step: int,
+    guidance_scale: float,
+    eta: float,
+    local_text_edit: bool,
+    local_perturbation: bool,
+):
+    """One composition case's full compute (invert N+1 streams -> compose
+    loop), vmappable over a case axis."""
+
+    def fn(params, lats, text_inv, text_emb, text_extra, state, cg, gates,
+           cfg_mask, var_mask, rng):
+        traj = ddim_invert_loop(unet_plain, params, schedule, lats, text_inv,
+                                num_actual)
+        return sample_compose_loop(
+            unet_edit, params, schedule, ecfg, traj, text_emb, text_extra,
+            state, cg, gates, cfg_mask, var_mask, rng,
             start_step=start_step, guidance_scale=guidance_scale, eta=eta,
             local_text_edit=local_text_edit,
             local_perturbation=local_perturbation,

@@ -49,6 +49,51 @@ def test_batched_matches_single():
 
 
 @pytest.mark.slow
+def test_batched_cross_image_composition():
+    pipe = FreeFine(config=tiny_pipeline_config(), init_random=True)
+    batched = BatchedFreeFine(pipe)
+    h = w = pipe.config.height
+    r = np.random.default_rng(7)
+    cases = []
+    for s in range(2):
+        app = r.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        bg = r.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        coarse = r.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        m1 = np.zeros((h, w), np.uint8); m1[8:24, 8:24] = 255
+        m2 = np.zeros((h, w), np.uint8); m2[24:40, 24:40] = 255
+        tm = np.zeros((h, w), np.uint8); tm[16:32, 16:32] = 255
+        cases.append(dict(
+            img_lists=[app, bg], ori_mask_lists=[m1, m2],
+            tgt_mask_lists=[tm], coarse_input=coarse,
+            guidance_text_list=["a bird"],
+        ))
+    from freefine_tpu.utils.profiling import StageTimer
+
+    timer = StageTimer()
+    outs = batched.cross_image_composition(
+        cases, num_step=5, start_step=2, end_step=1,
+        appearance_transfer=True, timer=timer,
+    )
+    assert len(outs) == 2
+    assert outs[0].shape == (h, w, 3) and outs[0].dtype == np.uint8
+    assert not np.array_equal(outs[0], outs[1])
+    # the profiling hook recorded every stage exactly once
+    summary = timer.summary()
+    for stage in ("prep_images", "vae_encode", "text_encode",
+                  "mask_prep", "edit", "decode"):
+        assert summary[stage]["count"] == 1
+
+    # batched case 0 matches the single-case compose pipeline structurally
+    single = pipe.cross_image_composition(
+        cases[0]["img_lists"], cases[0]["ori_mask_lists"],
+        cases[0]["tgt_mask_lists"], cases[0]["coarse_input"],
+        cases[0]["guidance_text_list"],
+        num_step=5, start_step=2, end_step=1, appearance_transfer=True,
+    )
+    assert single.shape == outs[0].shape
+
+
+@pytest.mark.slow
 def test_batched_background_generation():
     pipe = FreeFine(config=tiny_pipeline_config(), init_random=True)
     batched = BatchedFreeFine(pipe)
