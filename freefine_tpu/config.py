@@ -119,6 +119,9 @@ class PipelineConfig:
     scheduler: SchedulerConfig = dataclasses.field(default_factory=SchedulerConfig)
     height: int = 512
     width: int = 512
+    # SDXL dual-encoder: an OpenCLIPTextConfig for text_encoder_2 (None for
+    # single-encoder SD-1.5 pipelines).
+    text2: Optional[object] = None
 
     @property
     def latent_height(self) -> int:
@@ -177,6 +180,66 @@ def sdxl_unet_config(dtype=None) -> UNetConfig:
         transformer_depth=(1, 2, 10),
         addition_embed_dim=2816,
         dtype=dtype or jnp.bfloat16,
+    )
+
+
+def sdxl_pipeline_config(
+    height: int = 1024, width: int = 1024, dtype: Optional[jnp.dtype] = None
+) -> PipelineConfig:
+    """The full SDXL-base pipeline: SDXL UNet (2048-d context + added
+    conditioning), the SDXL VAE (scaling 0.13025), CLIP-L penultimate
+    encoder, and the OpenCLIP-bigG second tower.
+
+    The reference names this backbone swap as its scaling TODO (README:77);
+    topology matches evaluation/DesignEdit/utils/sdxl.py.
+    """
+    from freefine_tpu.models.open_clip_text import open_clip_text_bigg
+
+    dtype = dtype or jnp.bfloat16
+    return PipelineConfig(
+        unet=sdxl_unet_config(dtype=dtype),
+        vae=VAEConfig(scaling_factor=0.13025, dtype=dtype),
+        text=CLIPTextConfig(dtype=dtype),
+        text2=open_clip_text_bigg(dtype=dtype),
+        height=height,
+        width=width,
+    )
+
+
+def tiny_sdxl_pipeline_config(height: int = 64, width: int = 64) -> PipelineConfig:
+    """Miniature SDXL topology for CPU tests: 3 levels, mixed transformer
+    depths, dual encoders, added conditioning."""
+    from freefine_tpu.models.open_clip_text import OpenCLIPTextConfig
+
+    unet = UNetConfig(
+        sample_size=height // 8,
+        block_out_channels=(32, 64, 128),
+        num_attention_heads=2,
+        cross_attention_dim=48,  # 16 (CLIP tiny) + 32 (OpenCLIP tiny)
+        down_block_has_attn=(False, True, True),
+        up_block_has_attn=(True, True, False),
+        transformer_depth=(1, 2, 2),
+        addition_embed_dim=32 + 6 * 256,
+        norm_num_groups=8,
+        dtype=jnp.float32,
+    )
+    vae = VAEConfig(
+        block_out_channels=(16, 16, 32, 32),
+        layers_per_block=1,
+        norm_num_groups=8,
+        scaling_factor=0.13025,
+        dtype=jnp.float32,
+    )
+    text = CLIPTextConfig(
+        vocab_size=1000, hidden_size=16, intermediate_size=32,
+        num_layers=2, num_heads=2, dtype=jnp.float32,
+    )
+    text2 = OpenCLIPTextConfig(
+        vocab_size=1000, width=32, heads=2, layers=2,
+        projection_dim=32, dtype=jnp.float32,
+    )
+    return PipelineConfig(
+        unet=unet, vae=vae, text=text, text2=text2, height=height, width=width
     )
 
 

@@ -33,6 +33,13 @@ def open_clip_text_h14() -> OpenCLIPTextConfig:
     return OpenCLIPTextConfig()
 
 
+def open_clip_text_bigg(dtype=jnp.float32) -> OpenCLIPTextConfig:
+    """OpenCLIP ViT-bigG-14 text tower — SDXL's text_encoder_2."""
+    return OpenCLIPTextConfig(
+        width=1280, heads=20, layers=32, projection_dim=1280, dtype=dtype
+    )
+
+
 class Block(nn.Module):
     heads: int
     dtype: jnp.dtype = jnp.float32
@@ -87,3 +94,44 @@ class OpenCLIPText(nn.Module):
             (cfg.width, cfg.projection_dim),
         )
         return pooled @ proj.astype(pooled.dtype)
+
+
+class OpenCLIPTextHidden(nn.Module):
+    """SDXL `text_encoder_2` head: penultimate hidden states + pooled
+    projection.
+
+    SDXL conditions the UNet on hidden_states[-2] of BOTH text towers
+    (concatenated to 2048-d) and additionally on this tower's pooled
+    projection (evaluation/DesignEdit/utils/sdxl.py encode_prompt).  The EOT
+    position is passed explicitly (not argmax of ids) so stand-in tokenizers
+    with small vocabularies pool correctly.
+    """
+
+    config: OpenCLIPTextConfig
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray, eot_pos: jnp.ndarray):
+        """([B, 77] int32, [B] int32) -> ([B, 77, width], [B, projection])."""
+        cfg = self.config
+        b, s = input_ids.shape
+        x = nn.Embed(
+            cfg.vocab_size, cfg.width, dtype=cfg.dtype, name="token_embedding"
+        )(input_ids)
+        pos = self.param(
+            "positional_embedding", nn.initializers.normal(0.01),
+            (cfg.context_length, cfg.width),
+        )
+        x = x + pos[None, :s].astype(cfg.dtype)
+        causal = jnp.triu(jnp.full((s, s), -1e9, jnp.float32), k=1)[None, None]
+        hidden_pen = None
+        for i in range(cfg.layers):
+            if i == cfg.layers - 1:
+                hidden_pen = x
+            x = Block(cfg.heads, cfg.dtype, name=f"resblocks_{i}")(x, causal)
+        x = LayerNorm32(name="ln_final")(x)
+        pooled = x[jnp.arange(b), eot_pos]
+        proj = self.param(
+            "text_projection", nn.initializers.normal(0.01),
+            (cfg.width, cfg.projection_dim),
+        )
+        return hidden_pen, pooled @ proj.astype(pooled.dtype)

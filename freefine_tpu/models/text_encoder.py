@@ -75,8 +75,15 @@ class CLIPTextEncoder(nn.Module):
     config: CLIPTextConfig
 
     @nn.compact
-    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
-        """[B, 77] int32 token ids -> [B, 77, hidden] last hidden state."""
+    def __call__(
+        self, input_ids: jnp.ndarray, penultimate: bool = False
+    ) -> jnp.ndarray:
+        """[B, 77] int32 token ids -> [B, 77, hidden].
+
+        Default: last hidden state after the final LayerNorm (SD-1.5).
+        penultimate=True: hidden_states[-2] — skip the last layer and the
+        final LayerNorm — the SDXL text_encoder convention
+        (evaluation/DesignEdit/utils/sdxl.py encode_prompt)."""
         cfg = self.config
         b, s = input_ids.shape
         tok = nn.Embed(
@@ -89,9 +96,12 @@ class CLIPTextEncoder(nn.Module):
         )(jnp.arange(s)[None, :])
         x = tok + pos
         causal = jnp.triu(jnp.full((s, s), -1e9, jnp.float32), k=1)[None, None]
-        for i in range(cfg.num_layers):
+        n = cfg.num_layers - 1 if penultimate else cfg.num_layers
+        for i in range(n):
             x = CLIPEncoderLayer(
                 cfg.num_heads, cfg.intermediate_size, cfg.dtype,
                 name=f"layers_{i}",
             )(x, causal)
+        if penultimate:
+            return x
         return LayerNorm32(name="final_layer_norm")(x)

@@ -1,0 +1,83 @@
+"""SDXL pipeline wiring tests (tiny config, CPU).
+
+The reference names the SDXL backbone swap as its scaling TODO (README:77);
+conditioning protocol per evaluation/DesignEdit/utils/sdxl.py.
+"""
+
+import numpy as np
+import pytest
+
+from freefine_tpu.config import tiny_sdxl_pipeline_config
+from freefine_tpu.sdxl import SDXLFreeFine
+
+
+@pytest.fixture(scope="module")
+def sdxl_pipe():
+    return SDXLFreeFine(config=tiny_sdxl_pipeline_config(), init_random=True)
+
+
+def test_dual_encoder_shapes(sdxl_pipe):
+    cfg = sdxl_pipe.config
+    ctx, pooled = sdxl_pipe._encode_dual(["a cat", ""])
+    assert ctx.shape == (2, 77, cfg.unet.cross_attention_dim)
+    assert pooled.shape == (2, cfg.text2.projection_dim)
+    added = sdxl_pipe._added_cond(pooled)
+    assert added.shape == (2, cfg.unet.addition_embed_dim)
+    # encode_text keeps the base-class contract (context only)
+    assert sdxl_pipe.encode_text(["x"]).shape == (1, 77, cfg.unet.cross_attention_dim)
+
+
+def test_openclip_padding_rewrite(sdxl_pipe):
+    ids = np.asarray(sdxl_pipe.tokenizer.batch_encode(["a cat on a mat"]))
+    ids2, eot = sdxl_pipe._openclip_ids(ids)
+    e = int(eot[0])
+    assert ids[0, e] == sdxl_pipe.tokenizer.eos
+    assert (ids2[0, e + 1:] == 0).all()          # OpenCLIP zero padding
+    assert (ids2[0, : e + 1] == ids[0, : e + 1]).all()
+
+
+@pytest.mark.slow
+def test_sdxl_generation_e2e(sdxl_pipe):
+    h = w = sdxl_pipe.config.height
+    r = np.random.default_rng(0)
+    img = r.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    coarse = r.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    m = np.zeros((h, w), np.uint8); m[8:24, 8:24] = 255
+    tm = np.zeros((h, w), np.uint8); tm[16:32, 16:32] = 255
+    out = sdxl_pipe.generation(
+        img, m, coarse, tm, "a cat",
+        num_step=6, start_step=3, end_step=1,
+        use_auto_draw=True, cons_area=np.zeros((h, w), np.uint8),
+        reduce_inp_artifacts=True,
+    )
+    assert out.shape == (h, w, 3) and out.dtype == np.uint8
+    assert np.isfinite(out.astype(np.float64)).all()
+
+
+@pytest.mark.slow
+def test_sdxl_background_generation_e2e(sdxl_pipe):
+    h = w = sdxl_pipe.config.height
+    r = np.random.default_rng(1)
+    img = r.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    m = np.zeros((h, w), np.uint8); m[8:24, 8:24] = 255
+    out = sdxl_pipe.background_generation(
+        img, m, "empty scene", num_step=5, start_step=1, end_step=2
+    )
+    assert out.shape == (h, w, 3) and out.dtype == np.uint8
+
+
+@pytest.mark.slow
+def test_sdxl_composition_e2e(sdxl_pipe):
+    h = w = sdxl_pipe.config.height
+    r = np.random.default_rng(2)
+    app = r.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    bg = r.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    coarse = r.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    m1 = np.zeros((h, w), np.uint8); m1[8:24, 8:24] = 255
+    m2 = np.zeros((h, w), np.uint8); m2[24:40, 24:40] = 255
+    tm = np.zeros((h, w), np.uint8); tm[16:32, 16:32] = 255
+    out = sdxl_pipe.cross_image_composition(
+        [app, bg], [m1, m2], [tm], coarse, ["a bird"],
+        num_step=5, start_step=2, end_step=1, appearance_transfer=True,
+    )
+    assert out.shape == (h, w, 3) and out.dtype == np.uint8
