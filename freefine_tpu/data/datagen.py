@@ -284,3 +284,216 @@ def generate_azimuth_angles(
     )
     az = np.sort(np.concatenate([fwd, bwd, rest]) % 360)
     return list(np.concatenate([az, [0.0]]))
+
+
+# ---------------------------------------------------------------------------
+# Batch authoring driver (reference re_edit_3d.py main(), :1239-1395)
+# ---------------------------------------------------------------------------
+
+
+def sample_instance_edits(
+    img: np.ndarray,
+    mask: np.ndarray,
+    inp_img: np.ndarray,
+    cons_area: np.ndarray,
+    obj_label: str,
+    rng: np.random.Generator,
+    use_3d: bool = False,
+    sv3d_edit_fn=None,
+):
+    """All feasible coarse edits for one instance.
+
+    2D: one instruction per (operation x level) -> constraint-aware sampled
+    params -> `re_edit_2d` coarse render (coarse_edit_func_v2 +
+    sample_edit_func_2d, re_edit_3d.py:527-551).  Infeasible samples
+    (rotation/scale caps below the level's lower bound) are discarded like
+    the reference's AssertionError skip.
+
+    3D: rotate instructions only; `sv3d_edit_fn(img, mask, angle_deg,
+    inp_background) -> (coarse, target_mask)` renders each sampled
+    y-rotation (wire to `models.sv3d.re_edit_3d_sv3d` when SV3D weights are
+    available).
+
+    Returns a list of dicts with edit_prompt / edit_param / coarse /
+    target_mask / out_of_img_boundary.
+    """
+    from freefine_tpu.ops.geometry import re_edit_2d
+
+    results = []
+    if not use_3d:
+        for ins in generate_instructions(rng, "2D"):
+            try:
+                _, edit_param, oob = gen_2d_edit_config(mask, cons_area, ins, rng)
+            except ValueError as e:          # infeasible sample -> discard
+                continue
+            coarse, tgt_mask, _ = re_edit_2d(img, mask, edit_param, inp_img)
+            results.append({
+                "edit_prompt": ins.prompt.format(object=obj_label),
+                "edit_param": edit_param,
+                "coarse": coarse,
+                "target_mask": tgt_mask,
+                "out_of_img_boundary": bool(oob),
+            })
+        return results
+
+    assert sv3d_edit_fn is not None, (
+        "3D authoring needs an SV3D renderer; pass sv3d_edit_fn wired to "
+        "freefine_tpu.models.sv3d.re_edit_3d_sv3d"
+    )
+    for ins in generate_instructions(rng, "3D"):
+        if ins.type != "rotate":
+            continue
+        edit_param, deg = gen_3d_edit_config(ins, rng)
+        coarse, tgt_mask = sv3d_edit_fn(img, mask, deg, inp_img)
+        results.append({
+            "edit_prompt": ins.prompt.format(object=obj_label),
+            "edit_param": edit_param,
+            "coarse": coarse,
+            "target_mask": tgt_mask,
+            "out_of_img_boundary": False,
+        })
+    return results
+
+
+def run_coarse_authoring(
+    src_json: str,
+    dst_base: str,
+    data_id=None,
+    use_3d: bool = False,
+    seed: int = 42,
+    sv3d_edit_fn=None,
+    size: int = 512,
+    progress=print,
+):
+    """End-to-end GeoBench coarse-input authoring with temp-file resume.
+
+    Mirrors the reference batch driver (re_edit_3d.py:1239-1395): iterate
+    source instances (schema: data[da_n] = {src_img_path, 4v_caption/
+    caption, instances: {mask_path: [...], inp_img_path: [...],
+    obj_label: [...]}}), build the constrain-area union, sample
+    constraint-aware edits per instance, write coarse_input/ + target_mask/
+    images, checkpoint to {3d_}temp_file_coarse.json after every instance,
+    and emit {3d_}coarse_input_full_pack_{id}.json at the end (removing the
+    temp file).
+
+    Deviation: one seeded numpy Generator instead of the reference's
+    wall-clock global seeding (re_edit_3d.py:531) — runs are reproducible.
+    """
+    import os
+    import os.path as osp
+
+    from freefine_tpu import masks as mask_ops
+    from freefine_tpu.data.geobench import (
+        load_json, read_image, read_mask, save_image, save_json,
+    )
+
+    prefix = "3d_" if use_3d else ""
+    tag = "all" if data_id is None else str(data_id)
+    final_path = osp.join(dst_base, f"{prefix}coarse_input_full_pack_{tag}.json")
+    if osp.exists(final_path):
+        progress(f"coarse edit for {tag} already finished ({final_path})")
+        return load_json(final_path)
+    temp_path = osp.join(dst_base, f"{prefix}temp_file_coarse.json")
+    new_data = load_json(temp_path) if osp.exists(temp_path) else {}
+
+    coarse_dir = osp.join(dst_base, "coarse_input_3d" if use_3d else "coarse_input")
+    tgt_dir = osp.join(dst_base, "target_mask_3d" if use_3d else "target_mask")
+    data = load_json(src_json)
+    base_dir = osp.dirname(osp.abspath(src_json))
+
+    def resolve(p):
+        return p if osp.isabs(p) else osp.join(base_dir, p)
+
+    rng = np.random.default_rng(seed)
+    for da_n, da in data.items():
+        if "instances" not in da:
+            progress(f"skip {da_n}: no instances")
+            continue
+        if da_n in new_data and new_data[da_n].get("instances"):
+            progress(f"skip {da_n}: already authored (resume)")
+            continue
+        img = read_image(resolve(da["src_img_path"]), size=size)
+        instances = da["instances"]
+        mask_list = instances["mask_path"]
+        inp_list = instances["inp_img_path"]
+        labels = instances["obj_label"]
+        raw_masks = [read_mask(resolve(m), size=size) for m in mask_list]
+        cons_all = np.asarray(
+            mask_ops.get_constrain_areas(raw_masks, size, size)
+        )
+
+        entry = {
+            "src_img_path": da["src_img_path"],
+            "4v_caption": da.get("4v_caption", da.get("caption", "")),
+            "instances": {},
+        }
+        for ins_id in range(len(inp_list)):
+            mask_cur = (raw_masks[ins_id] > 0).astype(np.float32)
+            inp_cur = read_image(resolve(inp_list[ins_id]), size=size)
+            cons = np.where(mask_cur > 0, 0.0, cons_all).astype(np.float32)
+            samples = sample_instance_edits(
+                img, mask_cur, inp_cur, cons, labels[ins_id], rng,
+                use_3d=use_3d, sv3d_edit_fn=sv3d_edit_fn,
+            )
+            sample_dict = {}
+            for sid, s in enumerate(samples):
+                tgt_path = osp.join(tgt_dir, da_n, str(ins_id), f"{sid}.png")
+                coarse_path = osp.join(coarse_dir, da_n, str(ins_id), f"{sid}.png")
+                save_image(s["target_mask"], tgt_path)
+                save_image(s["coarse"], coarse_path)
+                sample_dict[str(sid)] = {
+                    "edit_prompt": s["edit_prompt"],
+                    "src_img_path": da["src_img_path"],
+                    "obj_label": labels[ins_id],
+                    "ori_img_path": da["src_img_path"],
+                    "ori_mask_path": mask_list[ins_id],
+                    "tgt_mask_path": tgt_path,
+                    "coarse_input_path": coarse_path,
+                    "edit_param": list(s["edit_param"]),
+                    "out_of_img_boundary": s["out_of_img_boundary"],
+                }
+            entry["instances"][str(ins_id)] = sample_dict
+            new_data[da_n] = entry
+            save_json(new_data, temp_path)  # per-instance resume checkpoint
+        progress(f"{da_n}: {sum(len(v) for v in entry['instances'].values())} edits")
+
+    save_json(new_data, final_path)
+    if osp.exists(temp_path):
+        os.remove(temp_path)
+    progress(f"wrote {final_path}")
+    return new_data
+
+
+def _cli(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="GeoBench coarse-input authoring "
+                    "(python -m freefine_tpu.data.datagen)"
+    )
+    p.add_argument("--src", required=True, help="source annotations JSON")
+    p.add_argument("--out", required=True, help="destination base dir")
+    p.add_argument("--data-id", default=None, help="subset tag for the pack name")
+    p.add_argument("--use-3d", action="store_true",
+                   help="author 3D y-rotations (needs SV3D weights)")
+    p.add_argument("--sv3d-dir", default=None,
+                   help="converted SV3D checkpoint dir (orbax) for --use-3d")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--size", type=int, default=512)
+    a = p.parse_args(argv)
+
+    sv3d_fn = None
+    if a.use_3d:
+        if a.sv3d_dir is None:
+            p.error("--use-3d needs --sv3d-dir (converted SV3D weights)")
+        from freefine_tpu.models.sv3d import make_sv3d_edit_fn
+
+        sv3d_fn = make_sv3d_edit_fn(a.sv3d_dir)
+    return run_coarse_authoring(
+        a.src, a.out, data_id=a.data_id, use_3d=a.use_3d, seed=a.seed,
+        sv3d_edit_fn=sv3d_fn, size=a.size,
+    )
+
+
+if __name__ == "__main__":
+    _cli()

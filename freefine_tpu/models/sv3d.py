@@ -232,6 +232,56 @@ def pick_frame_for_angle(
     return int(np.argmin(diff))
 
 
+def make_sv3d_edit_fn(ckpt_dir: str, seed: int = 0):
+    """Build a `(img, mask, angle_deg, inp_background) -> (coarse, tgt_mask)`
+    renderer from an orbax checkpoint bundle — the pluggable 3D backend of
+    the dataset-authoring CLI (data/datagen.py).
+
+    The bundle is a dict checkpoint with keys: "sv3d_unet" (required),
+    "vae" (required), and optionally "clip_image" (ViT-H conditioning
+    tokens; zeros without) and "u2net" (novel-view re-matting; brightness
+    fallback without) — the same components the reference loads separately
+    (re_edit_3d.py:223-249, rembg, CLIP embedder)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    from freefine_tpu.config import VAEConfig
+    from freefine_tpu.models.vae import AutoencoderKL
+    from freefine_tpu.models.video_unet import VideoUNet, sv3d_config
+
+    ckptr = ocp.StandardCheckpointer()
+    bundle = ckptr.restore(os.path.abspath(ckpt_dir))
+    assert "sv3d_unet" in bundle and "vae" in bundle, sorted(bundle)
+
+    unet = VideoUNet(sv3d_config())
+    sv3d = SV3D(unet=unet, unet_params=bundle["sv3d_unet"])
+    vae = AutoencoderKL(config=VAEConfig())
+
+    clip_image = clip_params = None
+    if bundle.get("clip_image") is not None:
+        from freefine_tpu.models.clip_image import CLIPImageEncoder, clip_vit_h14
+
+        clip_image = CLIPImageEncoder(clip_vit_h14())
+        clip_params = bundle["clip_image"]
+    matting = None
+    if bundle.get("u2net") is not None:
+        from freefine_tpu.models.u2net import U2Net, u2netp_config
+
+        matting = (U2Net(u2netp_config()), bundle["u2net"])
+
+    rng = jax.random.key(seed)
+
+    def edit_fn(img, mask, angle_deg, inp_background):
+        return re_edit_3d_sv3d(
+            sv3d, vae, bundle["vae"], clip_image, clip_params, matting,
+            img, mask, float(angle_deg), inp_background=inp_background,
+            rng=rng,
+        )
+
+    return edit_fn
+
+
 def re_edit_3d_sv3d(
     sv3d: "SV3D",
     vae,                # freefine_tpu AutoencoderKL module

@@ -130,3 +130,114 @@ def test_stage_timer():
         pass
     s = t.summary()
     assert s["a"]["count"] == 2 and "a" in t.report()
+
+
+def _authoring_source(tmp_path, n_da=2, n_ins=2, size=64):
+    """Source-dataset JSON in the reference authoring schema."""
+    import json
+
+    from freefine_tpu.data.geobench import save_image
+
+    rng = np.random.default_rng(3)
+    data = {}
+    for d in range(n_da):
+        img = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+        img_p = str(tmp_path / f"src_{d}.png")
+        save_image(img, img_p)
+        masks, inps, labels = [], [], []
+        for i in range(n_ins):
+            m = np.zeros((size, size), np.uint8)
+            m[8 + 20 * i: 24 + 20 * i, 8 + 20 * i: 24 + 20 * i] = 255
+            mp = str(tmp_path / f"m_{d}_{i}.png")
+            save_image(m, mp)
+            inp = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+            ip = str(tmp_path / f"inp_{d}_{i}.png")
+            save_image(inp, ip)
+            masks.append(mp); inps.append(ip); labels.append(f"obj{i}")
+        data[f"da{d}"] = {
+            "src_img_path": img_p,
+            "4v_caption": "a scene",
+            "instances": {
+                "mask_path": masks, "inp_img_path": inps, "obj_label": labels,
+            },
+        }
+    src = tmp_path / "source.json"
+    src.write_text(json.dumps(data))
+    return str(src), data
+
+
+def test_authoring_driver_2d(tmp_path):
+    """End-to-end 2D coarse authoring: pack JSON + coarse/target images +
+    temp-file resume (reference re_edit_3d.py main, :1239-1395)."""
+    import json
+    import os.path as osp
+
+    from freefine_tpu.data.datagen import run_coarse_authoring
+
+    src, _ = _authoring_source(tmp_path)
+    out = str(tmp_path / "packs")
+    pack = run_coarse_authoring(src, out, data_id=0, size=64,
+                                progress=lambda s: None)
+    final = osp.join(out, "coarse_input_full_pack_0.json")
+    assert osp.exists(final)
+    assert not osp.exists(osp.join(out, "temp_file_coarse.json"))
+    n_edits = 0
+    for da in pack.values():
+        for ins in da["instances"].values():
+            for s in ins.values():
+                assert osp.exists(s["coarse_input_path"])
+                assert osp.exists(s["tgt_mask_path"])
+                assert len(s["edit_param"]) == 9
+                assert "{object}" not in s["edit_prompt"]
+                n_edits += 1
+    assert n_edits > 0
+
+    # idempotent: a second run loads the finished pack
+    pack2 = run_coarse_authoring(src, out, data_id=0, size=64,
+                                 progress=lambda s: None)
+    assert json.dumps(pack2, sort_keys=True) == json.dumps(pack, sort_keys=True)
+
+
+def test_authoring_driver_resume(tmp_path):
+    """A temp checkpoint written after a partial run is honoured."""
+    import json
+    import os.path as osp
+
+    from freefine_tpu.data.datagen import run_coarse_authoring
+
+    src, data = _authoring_source(tmp_path, n_da=2)
+    out = str(tmp_path / "packs")
+    # fake a partial run: da0 already authored
+    os_makedirs = __import__("os").makedirs
+    os_makedirs(out, exist_ok=True)
+    partial = {"da0": {"src_img_path": "x", "4v_caption": "c",
+                       "instances": {"0": {}}}}
+    (tmp_path / "packs" / "temp_file_coarse.json").write_text(
+        json.dumps(partial))
+    pack = run_coarse_authoring(src, out, data_id=1, size=64,
+                                progress=lambda s: None)
+    # da0 kept from the checkpoint (not re-authored), da1 authored fresh
+    assert pack["da0"] == partial["da0"]
+    assert pack["da1"]["instances"]
+    assert osp.exists(osp.join(out, "coarse_input_full_pack_1.json"))
+
+
+def test_authoring_driver_3d_stub(tmp_path):
+    """3D routing: rotate-only instructions through the injected renderer."""
+    from freefine_tpu.data.datagen import run_coarse_authoring
+
+    src, _ = _authoring_source(tmp_path, n_da=1, n_ins=1)
+    calls = []
+
+    def stub(img, mask, angle, inp):
+        calls.append(angle)
+        return inp.copy(), (np.asarray(mask) > 0).astype(np.uint8) * 255
+
+    pack = run_coarse_authoring(
+        src, str(tmp_path / "p3d"), use_3d=True, sv3d_edit_fn=stub,
+        size=64, progress=lambda s: None,
+    )
+    assert calls and all(a != 0 for a in calls)
+    edits = pack["da0"]["instances"]["0"]
+    assert len(edits) == len(calls)
+    assert all(e["edit_param"][4] != 0 for e in edits.values())  # y-rotation
