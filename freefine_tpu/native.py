@@ -30,7 +30,8 @@ def _build() -> bool:
             check=True, capture_output=True, timeout=120,
         )
         return True
-    except Exception:
+    except (OSError, subprocess.SubprocessError):
+        # no toolchain / build failure -> numpy fallbacks take over
         return False
 
 

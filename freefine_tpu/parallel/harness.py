@@ -51,8 +51,13 @@ def maybe_initialize_distributed() -> tuple[int, int]:
     ):
         try:
             jax.distributed.initialize()
-        except Exception:
-            pass
+        except (RuntimeError, ValueError) as e:
+            # already initialised, or an incomplete cluster spec — fall back
+            # to single-process but SAY so (a silent pass here masked real
+            # cluster misconfiguration)
+            import warnings
+
+            warnings.warn(f"jax.distributed.initialize failed: {e}")
     return jax.process_index(), jax.process_count()
 
 
