@@ -1,0 +1,125 @@
+"""Real-checkpoint validation against diffusers (golden-dump protocol).
+
+The SD-1.5 UNet/VAE converters (freefine_tpu.weights.load_sd15) are
+roundtrip-tested but, with no diffusers and no checkpoint downloads in the
+TPU environment, never forward-compared.  This script closes that gap in
+two halves that can run on different machines:
+
+  dump  (where diffusers + torch + the checkpoint exist):
+      python scripts/validate_against_diffusers.py dump \
+          --model /path/to/stable-diffusion-v1-5 --out golden_sd15.npz
+      Runs one text encode, one VAE encode+decode, and one UNet eps
+      prediction at t=261 on seeded inputs; stores every input and output
+      (NHWC, float32) in one npz.
+
+  check (on the TPU machine, with converted weights):
+      python scripts/validate_against_diffusers.py check \
+          --golden golden_sd15.npz --weights /path/to/sd15_diffusers_dir
+      Loads the same checkpoint through freefine_tpu.weights.load_sd15
+      (float32), replays the dumped inputs through the Flax models and
+      asserts each output matches within tolerance.
+
+Tolerances: fp32-vs-fp32 across frameworks differs by kernel algebra only;
+the defaults (atol 5e-2 / mean 5e-3 on eps, which is ~N(0,1)-scaled) are
+far below any behavioural difference.  `freefine_tpu.utils.golden` holds
+the comparison logic so the check side is unit-testable without diffusers.
+"""
+
+import argparse
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import numpy as np
+
+T_STEP = 261
+PROMPT = "a photograph of an astronaut riding a horse"
+
+
+def dump(model_dir: str, out_path: str, height: int = 512):
+    import torch
+    from diffusers import StableDiffusionPipeline
+
+    torch.manual_seed(0)
+    pipe = StableDiffusionPipeline.from_pretrained(
+        model_dir, torch_dtype=torch.float32, safety_checker=None
+    )
+    rng = np.random.default_rng(0)
+    lat = rng.normal(size=(1, 4, height // 8, height // 8)).astype(np.float32)
+    img = rng.uniform(-1, 1, size=(1, 3, height, height)).astype(np.float32)
+
+    ids = pipe.tokenizer(
+        [PROMPT], padding="max_length", max_length=77, return_tensors="pt"
+    ).input_ids
+    with torch.no_grad():
+        emb = pipe.text_encoder(ids)[0]
+        eps = pipe.unet(torch.from_numpy(lat), T_STEP, emb).sample
+        post = pipe.vae.encode(torch.from_numpy(img)).latent_dist
+        vae_lat = post.mean * pipe.vae.config.scaling_factor
+        recon = pipe.vae.decode(vae_lat / pipe.vae.config.scaling_factor).sample
+
+    def nhwc(x):
+        return np.asarray(x, np.float32).transpose(0, 2, 3, 1)
+
+    np.savez(
+        out_path,
+        prompt=np.array(PROMPT),
+        text_ids=ids.numpy().astype(np.int32),
+        text_emb=emb.numpy().astype(np.float32),
+        unet_in=nhwc(lat),
+        t=np.int32(T_STEP),
+        unet_out=nhwc(eps.numpy()),
+        vae_in=nhwc(img),
+        vae_latent=nhwc(vae_lat.numpy()),
+        vae_recon=nhwc(recon.numpy()),
+    )
+    print(f"wrote {out_path}")
+
+
+def check(golden_path: str, weights_dir: str):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # fp32 parity, not speed
+    import jax.numpy as jnp
+
+    from freefine_tpu.config import sd15_pipeline_config
+    from freefine_tpu.pipeline import FreeFine
+    from freefine_tpu.utils.golden import compare_golden
+    from freefine_tpu.weights import load_sd15
+
+    pipe = FreeFine(
+        config=sd15_pipeline_config(dtype=jnp.float32),
+        init_random=True,
+        tokenizer_path=osp.join(weights_dir, "tokenizer"),
+    )
+    load_sd15(pipe, weights_dir, dtype=jnp.float32)
+    report = compare_golden(pipe, np.load(golden_path, allow_pickle=True))
+    failed = [k for k, r in report.items() if not r["ok"]]
+    for k, r in report.items():
+        print(f"{k}: max_abs={r['max_abs']:.3e} mean_abs={r['mean_abs']:.3e} "
+              f"{'OK' if r['ok'] else 'FAIL'}")
+    if failed:
+        raise SystemExit(f"golden mismatch: {failed}")
+    print("all golden checks passed")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    d = sub.add_parser("dump")
+    d.add_argument("--model", required=True)
+    d.add_argument("--out", default="golden_sd15.npz")
+    d.add_argument("--height", type=int, default=512)
+    c = sub.add_parser("check")
+    c.add_argument("--golden", required=True)
+    c.add_argument("--weights", required=True)
+    a = p.parse_args(argv)
+    if a.cmd == "dump":
+        dump(a.model, a.out, a.height)
+    else:
+        check(a.golden, a.weights)
+
+
+if __name__ == "__main__":
+    main()
