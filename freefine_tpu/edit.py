@@ -73,6 +73,10 @@ class EditConfig:
     num_streams: int = 4            # UNet batch (4 edit/bggen; N+2 compose)
     num_sources: int = 0            # compose: N reference images
     prompt_length: int = 0          # compose: region prompts incl. trailing ""
+    # Debug instrument: sow head-averaged attention maps (<= 32x32 queries)
+    # into flax "intermediates" — the reference's AttentionStore
+    # (attention.py:565-638).  Off in the hot path.
+    store_attention: bool = False
 
     def __post_init__(self):
         assert self.mode in ("none", "edit", "bggen", "compose"), self.mode

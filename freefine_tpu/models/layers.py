@@ -205,6 +205,15 @@ class EditAttention(nn.Module):
         to_v = nn.Dense(dim, use_bias=False, dtype=self.dtype, name="to_v")
         k, v = to_k(ctx), to_v(ctx)
 
+        # opt-in debug instrument: sow <=32x32 attention maps (the reference
+        # AttentionStore, attention.py:565-638); collected via
+        # apply(..., mutable=["intermediates"])
+        if edit_cfg.store_attention and q.shape[1] <= 32 * 32:
+            self.sow(
+                "intermediates", "attn_probs",
+                attn_ops.attention_probs(q, k, self.heads),
+            )
+
         if self.is_cross:
             k_extra = v_extra = None
             if context_extra is not None:

@@ -98,6 +98,20 @@ def key_bias(key_mask: jnp.ndarray) -> jnp.ndarray:
     return (key_mask[:, None, None, :] - 1.0) * -NEG_INF
 
 
+def attention_probs(q: jnp.ndarray, k: jnp.ndarray, heads: int) -> jnp.ndarray:
+    """Head-averaged softmax attention probabilities [B, Sq, Sk] in f32 —
+    the quantity the reference AttentionStore records (attention.py:601-638).
+
+    Documented deviation: the reference stores head-resolved [B*H, S, S]
+    maps; averaging over heads here bounds the instrument's memory (the
+    prompt-to-prompt-style consumers average heads anyway)."""
+    qh = split_heads(q, heads).astype(jnp.float32)
+    kh = split_heads(k, heads).astype(jnp.float32)
+    scale = 1.0 / jnp.sqrt(jnp.float32(qh.shape[-1]))
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * scale
+    return jax.nn.softmax(logits, axis=-1).mean(axis=1)
+
+
 def sdpa(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -195,6 +195,50 @@ def fill_holes_partial_conv(
     return x, m
 
 
+@jax.jit
+def inpaint_fmm(img: jnp.ndarray, hole: jnp.ndarray) -> jnp.ndarray:
+    """Fast-marching tensor inpainting (reference tensor_inpaint_fmm,
+    geo_utils.py:171-232) as a jittable boundary-peel while_loop.
+
+    The reference's priority queue only ever holds distance 1.0 (4-neighbour
+    offsets), so its FMM degenerates to BFS onion layers; here each layer
+    fills in parallel with the mean of its KNOWN 4-neighbours.  Documented
+    deviation: same-layer pixels don't observe each other's just-filled
+    values (the reference's pop order does) — the parallel version is
+    order-free and deterministic.
+
+    img [H, W, C]; hole [H, W] in {0,1} (1 = pixel to repair).
+    """
+    h, w = hole.shape
+
+    def nsum(x):
+        """Sum of the 4 edge-clipped neighbours ([H, W] or [H, W, C])."""
+        pad = [(1, 1), (1, 1)] + [(0, 0)] * (x.ndim - 2)
+        p = jnp.pad(x, pad)
+        return (p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:])
+
+    def cond(carry):
+        _, m, it = carry
+        return jnp.logical_and(m.sum() > 0, it < h + w)
+
+    def body(carry):
+        x, m, it = carry
+        known = 1.0 - m
+        cnt = nsum(known)
+        vals = nsum(x * known[:, :, None])
+        fill = vals / jnp.maximum(cnt[:, :, None], 1e-8)
+        newly = (m > 0) & (cnt > 0)
+        x = jnp.where(newly[:, :, None], fill, x)
+        m = jnp.where(newly, 0.0, m)
+        return x, m, it + 1
+
+    x, _, _ = jax.lax.while_loop(
+        cond, body,
+        (img.astype(jnp.float32), hole.astype(jnp.float32), jnp.int32(0)),
+    )
+    return x
+
+
 def re_edit_3d_depth(
     src_img: np.ndarray,
     src_mask: np.ndarray,

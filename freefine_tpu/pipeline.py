@@ -794,6 +794,33 @@ class FreeFine:
 
     # -- helpers ----------------------------------------------------------------
 
+    def attention_maps(
+        self,
+        sample: jnp.ndarray,
+        t,
+        text_emb,
+        ecfg: Optional[EditConfig] = None,
+        state: Optional[EditState] = None,
+    ):
+        """One UNet forward with the attention-map instrument on — the
+        reference's AttentionStore probe (attention.py:565-638).
+
+        Returns (eps, {"{place}_{self|cross}": [head-averaged <=32x32 maps
+        in layer order]}).  For step-averaged maps across a loop, feed each
+        step's intermediates to `utils.attn_store.AttentionStore`."""
+        import dataclasses as _dc
+
+        from freefine_tpu.utils.attn_store import collect_maps
+
+        ecfg = _dc.replace(ecfg or EditConfig(), store_attention=True)
+        ctx, added = self._split_text(text_emb)
+        out, vs = self.unet.apply(
+            self.params["unet"], sample, t, ctx,
+            edit_cfg=ecfg, edit_state=state, added_cond=added,
+            mutable=["intermediates"],
+        )
+        return out, collect_maps(vs["intermediates"])
+
     def _edit_text_embeddings(self, guidance_text: str) -> jnp.ndarray:
         """[uncond, uncond, cond_edit, cond_ref("")] — the 4-stream CFG text
         layout of forward_sampling (model.py:536-564)."""

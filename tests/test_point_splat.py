@@ -115,3 +115,36 @@ def test_compute_correspondence_identity_and_translate(scene):
     shift = c[24:40, 20:36, 1].mean() - c2[24:40, 20:36, 1].mean()
     width = 16
     assert abs(shift - width / 2) < width * 0.2, shift
+
+
+def test_inpaint_fmm_fills_hole():
+    """Boundary-peel inpainting: constant surroundings fill the hole with
+    the constant; nothing outside the hole changes."""
+    import jax.numpy as jnp
+
+    from freefine_tpu.ops.point_splat import inpaint_fmm
+
+    img = np.full((16, 16, 3), 7.0, np.float32)
+    img[4:10, 4:10] = 0.0
+    hole = np.zeros((16, 16), np.float32)
+    hole[4:10, 4:10] = 1.0
+    out = np.asarray(inpaint_fmm(jnp.asarray(img), jnp.asarray(hole)))
+    np.testing.assert_allclose(out, 7.0, atol=1e-5)
+
+
+def test_inpaint_fmm_gradient_propagation(rng_np):
+    """A hole between two differently-valued sides blends between them and
+    contains no unfilled (zero) pixels."""
+    import jax.numpy as jnp
+
+    from freefine_tpu.ops.point_splat import inpaint_fmm
+
+    img = np.zeros((12, 12, 1), np.float32)
+    img[:, :4] = 1.0
+    img[:, 8:] = 3.0
+    hole = np.zeros((12, 12), np.float32)
+    hole[:, 4:8] = 1.0
+    out = np.asarray(inpaint_fmm(jnp.asarray(img), jnp.asarray(hole)))[:, :, 0]
+    assert (out[:, 4:8] >= 1.0 - 1e-5).all() and (out[:, 4:8] <= 3.0 + 1e-5).all()
+    # closer to the left edge -> closer to 1, right edge -> closer to 3
+    assert out[6, 4] < out[6, 7]
