@@ -164,11 +164,13 @@ class UNet2DCondition(nn.Module):
         features = [h]
 
         # ----- up -----
+        # Channels run deepest-first; `up_block_has_attn` is already declared
+        # in up-block order (SD-1.5: up_blocks[0] is the plain 1280-ch block,
+        # attention lives in up_blocks 1..3 — diffusers up_block_types).
         rev_ch = list(reversed(cfg.block_out_channels))
-        rev_attn = list(reversed(cfg.up_block_has_attn))
         for i in range(num_blocks):
             out_ch = rev_ch[i]
-            has_attn = rev_attn[i]
+            has_attn = cfg.up_block_has_attn[i]
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip], axis=-1)

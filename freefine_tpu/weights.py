@@ -352,6 +352,96 @@ def load_sd15(pipe, checkpoint_dir: str, dtype: Optional[jnp.dtype] = None) -> d
     return params
 
 
+_SDXL_UNET_REWRITES = (
+    # our added-conditioning MLP Dense names -> diffusers add_embedding
+    (r"add_embedding\.1$", "add_embedding.linear_1"),
+    (r"add_embedding\.2$", "add_embedding.linear_2"),
+)
+
+
+def convert_sdxl_text2(flax_params, tensors, dtype=None):
+    """HF CLIPTextModelWithProjection (SDXL text_encoder_2) state dict ->
+    flax OpenCLIPTextHidden params.
+
+    HF stores separate q/k/v projections; our tower uses the OpenCLIP fused
+    in_proj, so the three are concatenated (q,k,v order — matching the
+    jnp.split in models/open_clip_text.py).  text_projection is a bias-free
+    Linear whose weight transposes into our [width, proj] param.
+    """
+    t = dict(tensors)
+    pre = "text_model."
+    flat = jax.tree_util.tree_flatten_with_path(flax_params["params"])[0]
+    treedef = jax.tree_util.tree_structure(flax_params["params"])
+    leaves = []
+    for path, leaf in flat:
+        *mods, leaf_name = path
+        segs = [p.key if hasattr(p, "key") else str(p) for p in mods]
+        segs = [s for s in segs if s != "LayerNorm_0"]
+        leaf_str = leaf_name.key if hasattr(leaf_name, "key") else str(leaf_name)
+        key = ".".join(_module_to_diffusers(s) for s in segs)
+        suffix = _LEAF_MAP.get(leaf_str)  # None for bare params (pos/proj)
+        if leaf_str == "positional_embedding":
+            arr = np.asarray(t[f"{pre}embeddings.position_embedding.weight"])
+        elif leaf_str == "text_projection":
+            arr = np.asarray(t["text_projection.weight"]).T
+        elif key.startswith("token_embedding"):
+            arr = np.asarray(t[f"{pre}embeddings.token_embedding.weight"])
+        elif key.startswith("ln_final"):
+            arr = np.asarray(t[f"{pre}final_layer_norm.{suffix}"])
+        else:
+            m = re.match(r"resblocks\.(\d+)\.(.+)", key)
+            assert m, key
+            base = f"{pre}encoder.layers.{m.group(1)}"
+            sub = m.group(2)
+            if sub == "in_proj":
+                parts = [
+                    np.asarray(t[f"{base}.self_attn.{p}_proj.{suffix}"])
+                    for p in ("q", "k", "v")
+                ]
+                if leaf_str == "kernel":
+                    arr = np.concatenate([p.T for p in parts], axis=-1)
+                else:
+                    arr = np.concatenate(parts, axis=-1)
+            else:
+                hf_sub = {
+                    "ln.1": "layer_norm1", "ln.2": "layer_norm2",
+                    "out_proj": "self_attn.out_proj",
+                    "mlp_fc": "mlp.fc1", "mlp_proj": "mlp.fc2",
+                }[sub]
+                arr = np.asarray(t[f"{base}.{hf_sub}.{suffix}"])
+                if leaf_str == "kernel" and arr.ndim == 2:
+                    arr = arr.T
+        if arr.shape != tuple(leaf.shape):
+            raise ValueError(f"{key}.{leaf_str}: {arr.shape} vs {tuple(leaf.shape)}")
+        leaves.append(jnp.asarray(arr, dtype or leaf.dtype))
+    return {"params": jax.tree_util.tree_unflatten(treedef, leaves)}
+
+
+def load_sdxl(pipe, checkpoint_dir: str, dtype: Optional[jnp.dtype] = None) -> dict:
+    """Convert a diffusers SDXL-base checkpoint dir into SDXLFreeFine params.
+
+    Expects `checkpoint_dir/{unet,vae,text_encoder,text_encoder_2}/
+    *.safetensors` (the stock stable-diffusion-xl-base layout).
+    """
+    unet_t = _load_safetensors_dir(os.path.join(checkpoint_dir, "unet"))
+    vae_t = _load_safetensors_dir(os.path.join(checkpoint_dir, "vae"))
+    text_t = _load_safetensors_dir(os.path.join(checkpoint_dir, "text_encoder"))
+    text2_t = _load_safetensors_dir(
+        os.path.join(checkpoint_dir, "text_encoder_2")
+    )
+    params = {
+        "unet": {"params": _convert_tree(
+            pipe.params["unet"]["params"], unet_t,
+            key_rewrites=_SDXL_UNET_REWRITES, dtype=dtype,
+        )},
+        "vae": convert_vae(pipe.params["vae"], vae_t, dtype),
+        "text": convert_text_encoder(pipe.params["text"], text_t, dtype),
+        "text2": convert_sdxl_text2(pipe.params["text2"], text2_t, dtype),
+    }
+    pipe.params = params
+    return params
+
+
 # -- OpenCLIP (HPSv2.1) and BLIP (ImageReward) ---------------------------------
 
 
