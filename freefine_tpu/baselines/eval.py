@@ -1,0 +1,191 @@
+"""GeoBench eval driver for the baseline-method cores.
+
+The reference gives every baseline its own `eval_geobench.py` with the same
+loop shape (load annotations -> iterate cases -> edit -> save ->
+results JSON, e.g. evaluation/RegionDrag/eval_geobench.py:86-125).  This
+module is the shared TPU-side driver: case-level sharding across processes,
+output-existence resume, and result allgather, exactly like the FreeFine
+harness (freefine_tpu.parallel.harness).
+
+    python -m freefine_tpu.baselines.eval --baseline region_drag \
+        --annotations .../annotation_2d.json --dst results/ [--weights DIR]
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from freefine_tpu.data.geobench import (
+    GeoBenchDataset,
+    read_image,
+    read_mask,
+    save_image,
+    save_json,
+)
+from freefine_tpu.parallel.harness import (
+    _allgather_results,
+    maybe_initialize_distributed,
+)
+
+
+def _drag_points_from_case(ori_mask, tgt_mask, edit_param, n_points=30,
+                           seed=42):
+    """DragDiffusion's GeoBench point protocol
+    (DragDiffusion/geobench_eval.py:107-146): sample <= 30 handle points
+    from the source mask, targets are their analytic transforms."""
+    from freefine_tpu.metrics.md import transform_coordinates
+
+    size = ori_mask.shape[:2]
+    coords_yx = np.argwhere(ori_mask > 0)
+    if len(coords_yx) == 0:
+        return np.zeros((0, 2)), np.zeros((0, 2))
+    if len(coords_yx) > n_points:
+        rng = np.random.default_rng(seed)
+        coords_yx = coords_yx[
+            rng.choice(len(coords_yx), size=n_points, replace=False)
+        ]
+    gt = transform_coordinates(edit_param, size, (ori_mask > 0).astype(float))
+    handles_xy = coords_yx[:, ::-1].astype(np.float64)
+    tgts_rc = gt[coords_yx[:, 0], coords_yx[:, 1]]
+    targets_xy = tgts_rc[:, ::-1]
+    ok = (
+        (targets_xy[:, 0] >= 0) & (targets_xy[:, 0] < size[1])
+        & (targets_xy[:, 1] >= 0) & (targets_xy[:, 1] < size[0])
+    )
+    return handles_xy[ok], targets_xy[ok]
+
+
+def run_geobench_baseline(
+    pipe,
+    annotations_json: str,
+    dst_base: str,
+    baseline: str = "region_drag",
+    max_cases: Optional[int] = None,
+    seed: int = 42,
+    progress: Callable[[str], None] = print,
+    **baseline_kwargs,
+) -> Optional[Dict]:
+    """Run a baseline core over GeoBench.  Per-baseline protocols:
+
+    region_drag  : dense region pair from (ori, tgt) masks, full-frame mask
+                   (RegionDrag/eval_geobench.py:94-120).
+    self_guidance: silhouette guidance from edit_param, prompt
+                   "image of {obj_label}" (SelfGuidance/eval_geobench.py:
+                   131-146).
+    drag_diffusion: <= 30 mask-sampled handles -> analytic targets, union
+                   mask, per-image LoRA (DragDiffusion/geobench_eval.py:
+                   107-206).
+    """
+    assert baseline in ("region_drag", "self_guidance", "drag_diffusion")
+    pidx, pcount = maybe_initialize_distributed()
+    gen_dir = osp.join(dst_base, f"Gen_results_{baseline}")
+    ds = GeoBenchDataset.from_json(annotations_json, gen_dir)
+    my_cases = ds.shard(pidx, pcount)
+    if max_cases is not None:
+        my_cases = my_cases[:max_cases]
+    progress(
+        f"[proc {pidx}/{pcount}] baseline={baseline} {len(my_cases)} cases "
+        f"({len(ds.existing_results)} already done)"
+    )
+
+    if baseline == "region_drag":
+        from freefine_tpu.baselines.region_drag import RegionDrag
+
+        runner = RegionDrag(pipe)
+    elif baseline == "self_guidance":
+        from freefine_tpu.baselines.self_guidance import SelfGuidance
+
+        runner = SelfGuidance(pipe)
+    else:
+        from freefine_tpu.baselines.drag_diffusion import DragDiffusion
+
+        runner = DragDiffusion(pipe)
+
+    results: List[Dict] = []
+    t0 = time.time()
+    for i, case in enumerate(my_cases):
+        case_t0 = time.time()
+        da_n, ins_id, edit_ins = case["da_n"], case["ins_id"], case["edit_ins"]
+        ori_img = read_image(ds.resolve(case["ori_img_path"]))
+        ori_mask = read_mask(ds.resolve(case["ori_mask_path"]))
+        tgt_mask = read_mask(ds.resolve(case["tgt_mask_path"]))
+        prompt = f"image of {case.get('obj_label', 'object')}"
+
+        if baseline == "region_drag":
+            # eval_geobench.py:102-118: target mask doubles as the source
+            # region when the annotation's masks are aligned; the reference
+            # passes (orig_mask, tgt_mask) region pair and a full-frame mask
+            out = runner.drag_regions(
+                ori_img, ori_mask, tgt_mask, prompt, seed=seed,
+                **baseline_kwargs,
+            )
+        elif baseline == "self_guidance":
+            out = runner.edit(
+                ori_img, prompt, case.get("obj_label", "object"),
+                case["edit_param"], seed=seed, **baseline_kwargs,
+            )
+        else:
+            handles, targets = _drag_points_from_case(
+                ori_mask, tgt_mask, case["edit_param"], seed=seed
+            )
+            union = ((ori_mask > 0) | (tgt_mask > 0)).astype(np.float32)
+            out = runner.drag(
+                ori_img, handles, targets, prompt, mask=union, seed=seed,
+                max_points=32, **baseline_kwargs,
+            )
+
+        path = ds.output_path(da_n, ins_id, edit_ins)
+        save_image(out, path)
+        results.append({
+            **case, "gen_img_path": path,
+            "edit_seconds": round(time.time() - case_t0, 3),
+        })
+        if (i + 1) % 10 == 0:
+            rate = (i + 1) / (time.time() - t0) * 60
+            progress(f"[proc {pidx}] {i+1}/{len(my_cases)} "
+                     f"({rate:.1f} edits/min)")
+
+    gathered = _allgather_results(results)
+    if pidx != 0:
+        return None
+    merged = ds.merge_results(gathered)
+    out_path = osp.join(dst_base, f"generated_results_{baseline}.json")
+    save_json(merged, out_path)
+    progress(f"[proc 0] wrote {out_path}")
+    return merged
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description="GeoBench baseline runner")
+    ap.add_argument("--baseline", default="region_drag",
+                    choices=["region_drag", "self_guidance", "drag_diffusion"])
+    ap.add_argument("--annotations", required=True)
+    ap.add_argument("--dst", required=True)
+    ap.add_argument("--weights", default=None,
+                    help="orbax SD checkpoint dir (random weights if unset)")
+    ap.add_argument("--config", default="sd15", choices=["sd15", "tiny"])
+    ap.add_argument("--max-cases", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args(argv)
+
+    from freefine_tpu.config import sd15_pipeline_config, tiny_pipeline_config
+    from freefine_tpu.pipeline import FreeFine, load_pipeline_params
+
+    cfg = tiny_pipeline_config() if args.config == "tiny" else sd15_pipeline_config()
+    pipe = FreeFine(config=cfg, init_random=True, tokenizer_path=args.weights)
+    if args.weights:
+        load_pipeline_params(pipe, args.weights)
+    run_geobench_baseline(
+        pipe, args.annotations, args.dst, baseline=args.baseline,
+        max_cases=args.max_cases, seed=args.seed,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,14 @@ class EditConfig:
                   (forward_sampling_background_gen, model.py:656).
       'compose' — N-image composition / appearance transfer
                   (forward_sampling_compose, model.py:301).
+      'drag'    — RegionDrag-style K/V paste: stream 0 (the edited latent)
+                  runs every self-attention layer with stream 1's (the
+                  cycle-consistent hook latent's) K/V.  The functional
+                  equivalent of RegionDrag's to_k/to_v record-then-paste
+                  forward hooks (evaluation/RegionDrag/region_utils/
+                  drag.py:195-215) — instead of storing K/V for all layers
+                  and steps, the hook latent rides along as a second batch
+                  stream and its K/V are gathered in place.
 
     method:
       'tca'  — masked reference attention blended with self-attention by the
@@ -77,9 +85,19 @@ class EditConfig:
     # into flax "intermediates" — the reference's AttentionStore
     # (attention.py:565-638).  Off in the hot path.
     store_attention: bool = False
+    # drag mode: the batch stream whose K/V every stream attends with
+    # (RegionDrag: 1 = the hook latent; DragDiffusion/MasaCtrl: 0 = the
+    # un-dragged branch).
+    kv_source_stream: int = 1
+    # SelfGuidance instrument: sow per-token cross-attention maps (selected
+    # by EditState.token_select) and the up_blocks[-1].resnets[-2] feature
+    # tap, both differentiable — the functional form of the reference
+    # baseline's CustomAttnProcessor storage + module Hook
+    # (evaluation/SelfGuidance/free_guidance.py:384-405,595-599).
+    sow_token_attn: bool = False
 
     def __post_init__(self):
-        assert self.mode in ("none", "edit", "bggen", "compose"), self.mode
+        assert self.mode in ("none", "edit", "bggen", "compose", "drag"), self.mode
         assert self.method in (None, "tca", "mmsa", "ssa", "sdsa"), self.method
 
     @property
@@ -132,6 +150,10 @@ class EditState:
     share_gate: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.ones((), jnp.float32)
     )
+    # SelfGuidance: [T_sel, 77] token-selection matrix (one-hot rows, zero
+    # rows = padding) reducing sown cross-attn maps to the edited object's
+    # tokens.  None unless EditConfig.sow_token_attn.
+    token_select: Optional[jnp.ndarray] = None
 
 
 def attention_resolutions(latent_h: int, latent_w: int) -> Tuple[Tuple[int, int], ...]:

@@ -214,6 +214,19 @@ class EditAttention(nn.Module):
                 attn_ops.attention_probs(q, k, self.heads),
             )
 
+        if (
+            self.is_cross
+            and edit_cfg.sow_token_attn
+            and edit_state is not None
+            and edit_state.token_select is not None
+        ):
+            self.sow(
+                "intermediates", f"token_attn_{place}",
+                attn_ops.token_attention_maps(
+                    q, k, self.heads, edit_state.token_select
+                ),
+            )
+
         if self.is_cross:
             k_extra = v_extra = None
             if context_extra is not None:

@@ -178,6 +178,15 @@ class UNet2DCondition(nn.Module):
                     out_ch, cfg.norm_num_groups, dtype,
                     name=f"up_blocks_{i}_resnets_{j}",
                 )(h, temb)
+                if (
+                    edit_cfg.sow_token_attn
+                    and i == num_blocks - 1
+                    and j == cfg.layers_per_block - 1
+                ):
+                    # SelfGuidance appearance-feature tap: the reference
+                    # hooks up_blocks[-1].resnets[-2]'s output
+                    # (free_guidance.py:595-599)
+                    self.sow("intermediates", "guidance_feature", h)
                 if has_attn:
                     level = num_blocks - 1 - i
                     h = make_transformer(f"up_blocks_{i}_attentions_{j}", level)(

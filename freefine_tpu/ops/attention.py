@@ -112,6 +112,27 @@ def attention_probs(q: jnp.ndarray, k: jnp.ndarray, heads: int) -> jnp.ndarray:
     return jax.nn.softmax(logits, axis=-1).mean(axis=1)
 
 
+def token_attention_maps(
+    q: jnp.ndarray, k: jnp.ndarray, heads: int, token_select: jnp.ndarray
+) -> jnp.ndarray:
+    """Head-resolved cross-attn probabilities reduced to selected tokens.
+
+    q [B, Sq, E], k [B, Sk, E], token_select [T, Sk] (one-hot rows; zero rows
+    are padding) -> [B*H, Sq, T] float32.  The SelfGuidance baseline's
+    attention storage (free_guidance.py:384-405) reduced at the source: only
+    the edited object's token maps ever leave the layer, so the sown
+    residuals stay O(S) instead of O(S x 77).
+    """
+    qh = split_heads(q, heads).astype(jnp.float32)
+    kh = split_heads(k, heads).astype(jnp.float32)
+    scale = 1.0 / jnp.sqrt(jnp.float32(qh.shape[-1]))
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    sel = jnp.einsum("bhqk,tk->bhqt", probs, token_select.astype(jnp.float32))
+    b, h, s, t = sel.shape
+    return sel.reshape(b * h, s, t)
+
+
 def sdpa(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -216,6 +237,26 @@ def edit_self_attention(
     Mirrors the dispatcher in `register_attention_control*`
     (attention.py:342-452, 226-339, 454-564).
     """
+    if cfg.mode == "drag":
+        # Stream-K/V replacement: every stream attends with stream
+        # `cfg.kv_source_stream`'s K/V, gated by layer range / place and the
+        # per-step share_gate.  Covers two baseline mechanisms:
+        #   * RegionDrag's to_k/to_v record-then-paste hooks
+        #     (RegionDrag/region_utils/drag.py:195-215): source stream 1
+        #     (the hook latent), all layers, all steps;
+        #   * DragDiffusion's MasaCtrl mutual self-attention
+        #     (DragDiffusion/utils/attn_utils.py:44-98): source stream 0
+        #     (the un-dragged branch), layers 10-15, steps >= 4.
+        if place not in cfg.tca_scope or not cfg.block_gated(block_index):
+            return masked_sdpa(q, k, v, heads)
+        idx = jnp.full((k.shape[0],), cfg.kv_source_stream, jnp.int32)
+        kc, vc = k[idx], v[idx]
+        if state is not None:
+            g = state.share_gate
+            kc = jnp.where(g > 0, kc, k)
+            vc = jnp.where(g > 0, vc, v)
+        return masked_sdpa(q, kc, vc, heads)
+
     if cfg.mode == "none" or cfg.method is None or state is None:
         return masked_sdpa(q, k, v, heads)
 
