@@ -57,6 +57,9 @@ def main():
     ap.add_argument("--tiny", action="store_true", help="tiny config smoke run")
     ap.add_argument("--batch", type=int, default=1,
                     help="cases per device step (BatchedFreeFine)")
+    ap.add_argument("--profile", action="store_true",
+                    help="per-stage timing via StageTimer (batched path; "
+                         "prints the breakdown to stderr)")
     args = ap.parse_args()
 
     import jax
@@ -84,7 +87,13 @@ def main():
         else max(1, int(round(num_step * 0.7)))  # 35/50, the 2D eval setting
     )
 
-    if args.batch > 1:
+    timer = None
+    if args.profile:
+        from freefine_tpu.utils.profiling import StageTimer
+
+        timer = StageTimer()
+
+    if args.batch > 1 or args.profile:
         from freefine_tpu.pipeline import BatchedFreeFine
 
         batched = BatchedFreeFine(pipe)
@@ -98,7 +107,7 @@ def main():
             return batched.generation(
                 cases, guidance_scale=7.5, eta=1.0,
                 num_step=num_step, start_step=start_step,
-                end_step=max(1, num_step // 5), seed=seed,
+                end_step=max(1, num_step // 5), seed=seed, timer=timer,
             )[0]
     else:
         def one_edit(seed):
@@ -135,6 +144,10 @@ def main():
         f"out={out.shape}",
         file=sys.stderr,
     )
+    if timer is not None:
+        for stage, rec in timer.summary().items():
+            print(f"# stage {stage}: total={rec['total_s']:.3f}s "
+                  f"count={rec['count']}", file=sys.stderr)
     print(json.dumps(result))
 
 

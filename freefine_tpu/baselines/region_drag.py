@@ -259,8 +259,9 @@ class RegionDrag:
 
     # -- jitted stages -------------------------------------------------------
 
-    def _loops(self, steps: int, k: int, sde: bool, max_pts: int):
-        key = (steps, k, sde, max_pts)
+    def _loops(self, steps: int, k: int, sde: bool, max_pts: int,
+               ip_scale: float = 0.0):
+        key = (steps, k, sde, max_pts, ip_scale)
         if key in self._cache:
             return self._cache[key]
 
@@ -269,32 +270,36 @@ class RegionDrag:
         ecfg = EditConfig(mode="drag", method=None, local_cfg=False,
                           num_streams=2, kv_source_stream=1,
                           layer_range=(0, 10**6),
-                          tca_scope=("down", "mid", "up"))
+                          tca_scope=("down", "mid", "up"),
+                          ip_scale=ip_scale)
+        plain_cfg = EditConfig(mode="none", method=None, local_cfg=False,
+                               ip_scale=ip_scale)
         # ascending timesteps of the forward pass: the LAST k entries of the
         # descending DDIM grid, flipped (drag.py:139)
         ts_fwd = schedule.timesteps[steps - k:][::-1]
         # reverse pass visits the same latents top-down (drag.py:152)
         ts_bwd = ts_fwd[::-1] + schedule.step_delta
 
-        def eps_plain(params, x, t, ctx):
-            return pipe.unet.apply(params["unet"], x, t, ctx)
+        def eps_plain(params, x, t, ctx, ctx_img):
+            return pipe.unet.apply(params["unet"], x, t, ctx,
+                                   edit_cfg=plain_cfg,
+                                   context_image=ctx_img)
 
-        def forward(params, latent, ctx, rng):
+        def forward(params, latent, ctx, rng, ctx_img=None):
             def body(carry, inp):
                 x, rng = carry
                 t = inp
                 rng, r = jax.random.split(rng)
-                step = forward_sde_step if sde else forward_ode_step
                 if sde:
-                    x_next, noise = step(
+                    x_next, noise = forward_sde_step(
                         schedule,
-                        lambda z, tt: eps_plain(params, z, tt, ctx),
+                        lambda z, tt: eps_plain(params, z, tt, ctx, ctx_img),
                         t, x, r,
                     )
                 else:
-                    x_next, noise = step(
+                    x_next, noise = forward_ode_step(
                         schedule,
-                        lambda z, tt: eps_plain(params, z, tt, ctx),
+                        lambda z, tt: eps_plain(params, z, tt, ctx, ctx_img),
                         t, x,
                     )
                 return (x_next, rng), (x_next, noise)
@@ -305,7 +310,12 @@ class RegionDrag:
             return hooks, noises
 
         def backward(params, start_latent, hooks, noises, ctx,
-                     src_pts, tgt_pts, cp_gates, mask):
+                     src_pts, tgt_pts, cp_gates, mask, ctx_img=None):
+            ctx_img2 = (
+                None if ctx_img is None
+                else jnp.concatenate([ctx_img, ctx_img], axis=0)
+            )
+
             def body(x, inp):
                 hook, noise, t, cp_gate = inp
                 x_cp = copy_paste(hook, x, src_pts, tgt_pts)
@@ -315,7 +325,7 @@ class RegionDrag:
                 eps2 = pipe.unet.apply(
                     params["unet"], pair, t,
                     jnp.concatenate([ctx, ctx], axis=0),
-                    edit_cfg=ecfg,
+                    edit_cfg=ecfg, context_image=ctx_img2,
                 )
                 x = reverse_step(schedule, eps2[:1], t, x, noise, sde=sde)
                 return x, None
@@ -348,6 +358,8 @@ class RegionDrag:
         method: str = "encode_then_cp",
         preview_image: Optional[np.ndarray] = None,
         max_pts: Optional[int] = None,
+        image_tokens: Optional[jnp.ndarray] = None,
+        ip_scale: float = 0.0,
     ) -> np.ndarray:
         """Drag-edit `ori_image` moving `source_pts` to `target_pts`
         (image-space (x, y) ints).  Defaults are the reference GeoBench
@@ -372,13 +384,18 @@ class RegionDrag:
 
         latent = pipe.image_to_latent(ori_image)
         ctx = pipe.encode_text([prompt])
+        if image_tokens is not None and ip_scale <= 0:
+            ip_scale = 0.5  # the reference's ip-adapter-plus scale
+        tok = image_tokens
 
-        schedule, ts_bwd, fwd, bwd = self._loops(steps, k, sde, n_pts)
+        schedule, ts_bwd, fwd, bwd = self._loops(
+            steps, k, sde, n_pts, ip_scale if tok is not None else 0.0
+        )
 
         if sde:
             blur = pad_points(src, n_pts, oob)
             copy_src = pad_points(src, n_pts, oob)
-            hooks, noises = fwd(pipe.params, latent, ctx, r_fwd)
+            hooks, noises = fwd(pipe.params, latent, ctx, r_fwd, tok)
             start_latent = hooks[-1]
         else:
             # preview trajectory provides the hook latents; the original
@@ -386,8 +403,8 @@ class RegionDrag:
             # (drag.py:222-232,264-273)
             preview = preview_image if preview_image is not None else ori_image
             prev_latent = pipe.image_to_latent(preview)
-            hooks, noises = fwd(pipe.params, prev_latent, ctx, r_fwd)
-            start_latent = fwd(pipe.params, latent, ctx, r_fwd)[0][-1]
+            hooks, noises = fwd(pipe.params, prev_latent, ctx, r_fwd, tok)
+            start_latent = fwd(pipe.params, latent, ctx, r_fwd, tok)[0][-1]
             blur = pad_points(np.concatenate([tgt, src]), 2 * n_pts, oob)
             copy_src = pad_points(tgt, n_pts, oob)
         paste_tgt = pad_points(tgt, n_pts, oob)
@@ -409,7 +426,7 @@ class RegionDrag:
 
         out_latent = bwd(
             pipe.params, start_latent, hooks, noises, ctx,
-            copy_src, paste_tgt, jnp.asarray(cp_gates), mask_l,
+            copy_src, paste_tgt, jnp.asarray(cp_gates), mask_l, tok,
         )
         image = pipe.latent_to_image(out_latent)[0]
 

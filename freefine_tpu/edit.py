@@ -89,6 +89,11 @@ class EditConfig:
     # (RegionDrag: 1 = the hook latent; DragDiffusion/MasaCtrl: 0 = the
     # un-dragged branch).
     kv_source_stream: int = 1
+    # IP-Adapter image-prompt strength: > 0 creates to_k_ip/to_v_ip in every
+    # cross-attn layer and adds ip_scale * attn(q, k_ip, v_ip) over the
+    # `context_image` tokens (RegionDrag loads ip-adapter-plus at 0.5,
+    # region_utils/cycle_sde.py:25-31).
+    ip_scale: float = 0.0
     # SelfGuidance instrument: sow per-token cross-attention maps (selected
     # by EditState.token_select) and the up_blocks[-1].resnets[-2] feature
     # tap, both differentiable — the functional form of the reference

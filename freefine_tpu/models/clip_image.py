@@ -64,8 +64,15 @@ class CLIPImageEncoder(nn.Module):
     config: CLIPVisionConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """[B, S, S, 3] preprocessed -> [B, projection_dim] image features."""
+    def __call__(
+        self, x: jnp.ndarray, penultimate: bool = False
+    ) -> jnp.ndarray:
+        """[B, S, S, 3] preprocessed -> [B, projection_dim] image features.
+
+        With `penultimate=True` returns the full token sequence after the
+        second-to-last layer instead (HF `hidden_states[-2]`, no final
+        layernorm) — the IP-Adapter-plus image conditioning input
+        (RegionDrag/region_utils/drag.py:121-132)."""
         cfg = self.config
         b = x.shape[0]
         p = cfg.patch_size
@@ -88,11 +95,16 @@ class CLIPImageEncoder(nn.Module):
         h = h + pos[None].astype(cfg.dtype)
         h = LayerNorm32(name="pre_layrnorm")(h)
         zero_mask = jnp.zeros((1, 1, 1, 1), jnp.float32)
+        h_penultimate = None
         for i in range(cfg.num_layers):
+            if i == cfg.num_layers - 1:
+                h_penultimate = h
             h = CLIPEncoderLayer(
                 cfg.num_heads, cfg.intermediate_size, cfg.dtype,
                 name=f"layers_{i}",
             )(h, zero_mask)
+        if penultimate:
+            return h_penultimate
         pooled = LayerNorm32(name="post_layernorm")(h[:, 0])
         proj = self.param(
             "visual_projection",

@@ -197,6 +197,7 @@ class EditAttention(nn.Module):
         block_index: int,
         place: str,
         context_extra=None,
+        context_image=None,
     ):
         dim = x.shape[-1]
         ctx = x if context is None else context
@@ -235,6 +236,22 @@ class EditAttention(nn.Module):
                 q, k, v, self.heads, edit_cfg, edit_state,
                 k_extra=k_extra, v_extra=v_extra,
             )
+            if edit_cfg.ip_scale > 0:
+                # IP-Adapter decoupled cross-attention: image tokens get
+                # their own K/V projections, added before to_out
+                # (IPAttnProcessor; loaded by RegionDrag cycle_sde.py:25-31)
+                assert context_image is not None, (
+                    "ip_scale > 0 needs context_image tokens"
+                )
+                k_ip = nn.Dense(
+                    dim, use_bias=False, dtype=self.dtype, name="to_k_ip"
+                )(context_image.astype(self.dtype))
+                v_ip = nn.Dense(
+                    dim, use_bias=False, dtype=self.dtype, name="to_v_ip"
+                )(context_image.astype(self.dtype))
+                h = h + edit_cfg.ip_scale * attn_ops.sdpa(
+                    q, k_ip, v_ip, self.heads
+                )
         else:
             h = attn_ops.edit_self_attention(
                 q, k, v, self.heads, edit_cfg, edit_state, block_index, place
@@ -251,7 +268,7 @@ class BasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(
         self, x, context, *, edit_cfg, edit_state, block_index, place,
-        context_extra=None,
+        context_extra=None, context_image=None,
     ):
         h = LayerNorm32(name="norm1")(x)
         x = x + EditAttention(self.heads, is_cross=False, dtype=self.dtype, name="attn1")(
@@ -262,6 +279,7 @@ class BasicTransformerBlock(nn.Module):
         x = x + EditAttention(self.heads, is_cross=True, dtype=self.dtype, name="attn2")(
             h, context, edit_cfg=edit_cfg, edit_state=edit_state,
             block_index=block_index, place=place, context_extra=context_extra,
+            context_image=context_image,
         )
         h = LayerNorm32(name="norm3")(x)
         x = x + FeedForward(dtype=self.dtype, name="ff")(h)
@@ -284,7 +302,7 @@ class SpatialTransformer(nn.Module):
     @nn.compact
     def __call__(
         self, x, context, *, edit_cfg, edit_state, block_index, place,
-        context_extra=None,
+        context_extra=None, context_image=None,
     ):
         b, hh, ww, c = x.shape
         residual = x
@@ -301,7 +319,7 @@ class SpatialTransformer(nn.Module):
             )(
                 h, context, edit_cfg=edit_cfg, edit_state=edit_state,
                 block_index=block_index + d, place=place,
-                context_extra=context_extra,
+                context_extra=context_extra, context_image=context_image,
             )
         if self.use_linear:
             h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)

@@ -62,6 +62,7 @@ class UNet2DCondition(nn.Module):
         context_extra: Optional[jnp.ndarray] = None,
         h_sample: Optional[jnp.ndarray] = None,
         added_cond: Optional[jnp.ndarray] = None,
+        context_image: Optional[jnp.ndarray] = None,
         return_features: bool = False,
     ):
         cfg = self.config
@@ -130,7 +131,7 @@ class UNet2DCondition(nn.Module):
                         h, context,
                         edit_cfg=edit_cfg, edit_state=edit_state,
                         block_index=attn_index, place="down",
-                        context_extra=context_extra,
+                        context_extra=context_extra, context_image=context_image,
                     )
                     attn_index += cfg.transformer_depth[i]
                 skips.append(h)
@@ -147,6 +148,7 @@ class UNet2DCondition(nn.Module):
             h, context,
             edit_cfg=edit_cfg, edit_state=edit_state,
             block_index=attn_index, place="mid", context_extra=context_extra,
+            context_image=context_image,
         )
         attn_index += cfg.transformer_depth[num_blocks - 1]
         h = ResnetBlock(mid_ch, cfg.norm_num_groups, dtype, name="mid_block_resnets_1")(
@@ -193,7 +195,7 @@ class UNet2DCondition(nn.Module):
                         h, context,
                         edit_cfg=edit_cfg, edit_state=edit_state,
                         block_index=attn_index, place="up",
-                        context_extra=context_extra,
+                        context_extra=context_extra, context_image=context_image,
                     )
                     attn_index += cfg.transformer_depth[level]
             if i < num_blocks - 1:
