@@ -146,7 +146,10 @@ def main():
     )
     if timer is not None:
         for stage, rec in timer.summary().items():
-            print(f"# stage {stage}: total={rec['total_s']:.3f}s "
+            # min_s is the steady-state cost (the first call holds the
+            # compiles); total includes the warmup
+            print(f"# stage {stage}: steady={rec['min_s']:.3f}s "
+                  f"mean={rec['mean_s']:.3f}s total={rec['total_s']:.3f}s "
                   f"count={rec['count']}", file=sys.stderr)
     print(json.dumps(result))
 

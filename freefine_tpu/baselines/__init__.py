@@ -15,6 +15,7 @@ reimplemented here on the freefine_tpu stack:
     (optax) + feature-supervised point dragging with point tracking.
 """
 
+from freefine_tpu.baselines.design_edit import DesignEdit
 from freefine_tpu.baselines.drag_diffusion import (
     DragDiffusion,
     init_lora,
@@ -25,6 +26,6 @@ from freefine_tpu.baselines.region_drag import RegionDrag, region_pair_to_pts
 from freefine_tpu.baselines.self_guidance import SelfGuidance
 
 __all__ = [
-    "DragDiffusion", "RegionDrag", "SelfGuidance",
+    "DesignEdit", "DragDiffusion", "RegionDrag", "SelfGuidance",
     "init_lora", "merge_lora", "train_lora", "region_pair_to_pts",
 ]

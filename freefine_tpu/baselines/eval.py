@@ -80,7 +80,8 @@ def run_geobench_baseline(
                    mask, per-image LoRA (DragDiffusion/geobench_eval.py:
                    107-206).
     """
-    assert baseline in ("region_drag", "self_guidance", "drag_diffusion")
+    assert baseline in ("region_drag", "self_guidance", "drag_diffusion",
+                        "design_edit")
     pidx, pcount = maybe_initialize_distributed()
     gen_dir = osp.join(dst_base, f"Gen_results_{baseline}")
     ds = GeoBenchDataset.from_json(annotations_json, gen_dir)
@@ -100,6 +101,10 @@ def run_geobench_baseline(
         from freefine_tpu.baselines.self_guidance import SelfGuidance
 
         runner = SelfGuidance(pipe)
+    elif baseline == "design_edit":
+        from freefine_tpu.baselines.design_edit import DesignEdit
+
+        runner = DesignEdit(pipe)
     else:
         from freefine_tpu.baselines.drag_diffusion import DragDiffusion
 
@@ -127,6 +132,15 @@ def run_geobench_baseline(
             out = runner.edit(
                 ori_img, prompt, case.get("obj_label", "object"),
                 case["edit_param"], seed=seed, **baseline_kwargs,
+            )
+        elif baseline == "design_edit":
+            # translation edits as layer moves (dx/dy pixels -> fractions)
+            p = case["edit_param"]
+            h_img, w_img = ori_img.shape[:2]
+            out = runner.move(
+                ori_img, ori_mask,
+                dx=float(p[0]) / w_img, dy=-float(p[1]) / h_img,
+                prompt=prompt, **baseline_kwargs,
             )
         else:
             handles, targets = _drag_points_from_case(
@@ -164,7 +178,8 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser(description="GeoBench baseline runner")
     ap.add_argument("--baseline", default="region_drag",
-                    choices=["region_drag", "self_guidance", "drag_diffusion"])
+                    choices=["region_drag", "self_guidance", "drag_diffusion",
+                             "design_edit"])
     ap.add_argument("--annotations", required=True)
     ap.add_argument("--dst", required=True)
     ap.add_argument("--weights", default=None,

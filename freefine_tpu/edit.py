@@ -102,7 +102,16 @@ class EditConfig:
     sow_token_attn: bool = False
 
     def __post_init__(self):
-        assert self.mode in ("none", "edit", "bggen", "compose", "drag"), self.mode
+        # 'design' = DesignEdit-style key-input masking: the background
+        # stream (index kv_source_stream) computes its self-attention KEYS
+        # from hidden states zeroed inside the removal region (queries and
+        # values untouched), softly excluding the hole from its own context
+        # (DesignEdit/src/demo/model.py:374-396).  Gated per step by
+        # EditState.share_gate; the region is EditState.local_region
+        # (1 = keep).
+        assert self.mode in (
+            "none", "edit", "bggen", "compose", "drag", "design"
+        ), self.mode
         assert self.method in (None, "tca", "mmsa", "ssa", "sdsa"), self.method
 
     @property

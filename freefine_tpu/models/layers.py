@@ -204,7 +204,22 @@ class EditAttention(nn.Module):
         q = nn.Dense(dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
         to_k = nn.Dense(dim, use_bias=False, dtype=self.dtype, name="to_k")
         to_v = nn.Dense(dim, use_bias=False, dtype=self.dtype, name="to_v")
-        k, v = to_k(ctx), to_v(ctx)
+        ctx_k = ctx
+        if (
+            edit_cfg.mode == "design"
+            and not self.is_cross
+            and edit_state is not None
+            and x.shape[1] in edit_state.local_region
+        ):
+            # DesignEdit key-input masking (model.py:374-396): the background
+            # stream's self-attn KEYS come from hidden states zeroed inside
+            # the removal hole; queries and values stay unmasked.
+            keep = edit_state.local_region[x.shape[1]]       # [S], 1 = keep
+            row = 1.0 - edit_state.share_gate * (1.0 - keep)
+            rows = jnp.ones((x.shape[0], x.shape[1]), jnp.float32)
+            rows = rows.at[edit_cfg.kv_source_stream].set(row)
+            ctx_k = ctx * rows[:, :, None].astype(ctx.dtype)
+        k, v = to_k(ctx_k), to_v(ctx)
 
         # opt-in debug instrument: sow <=32x32 attention maps (the reference
         # AttentionStore, attention.py:565-638); collected via

@@ -28,6 +28,7 @@ to the 128-lane TPU tile by Mosaic (SD-1.5 head_dim is 40/80/160).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -37,6 +38,31 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
 _M_INIT = -1e30
+
+# Matmul feed precision. 'bf16' (default) feeds the MXU its native input
+# dtype — bf16 x bf16 with f32 accumulation — for the QK^T and PV products
+# (softmax statistics stay f32 either way).  'f32' upcasts the operands
+# first: ~4x slower MXU passes, bit-stable vs the einsum golden path, used
+# by the numerics tests.  bf16-feed output deltas vs f32 measured at
+# 1e-3..4e-3 absolute on SD shapes — noise relative to the bf16 activations
+# the UNet already carries.
+_COMPUTE_BF16 = os.environ.get("FREEFINE_FLASH_COMPUTE", "bf16") != "f32"
+
+
+def _feed(x: jnp.ndarray) -> jnp.ndarray:
+    """Matmul operand in the configured feed precision."""
+    return x if _COMPUTE_BF16 else x.astype(jnp.float32)
+
+
+def _pv(p: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """probs @ values with f32 accumulation; probs cast to the value dtype
+    when feeding bf16 (p in [0, 1] loses < 0.4% relative)."""
+    return jax.lax.dot_general(
+        p.astype(v.dtype) if _COMPUTE_BF16 else p,
+        v,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _pick_block(s: int, target: int = 512) -> int:
@@ -61,9 +87,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_s, l_s, acc_s, *, scal
         l_s[:] = jnp.zeros_like(l_s)
         acc_s[:] = jnp.zeros_like(acc_s)
 
-    q = q_ref[0].astype(jnp.float32)            # [BQ, D]
-    k = k_ref[0].astype(jnp.float32)            # [BK, D]
-    v = v_ref[0].astype(jnp.float32)            # [BK, D]
+    q = _feed(q_ref[0])                         # [BQ, D]
+    k = _feed(k_ref[0])                         # [BK, D]
+    v = _feed(v_ref[0])                         # [BK, D]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale                                    # [BQ, BK]
@@ -75,9 +101,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_s, l_s, acc_s, *, scal
     corr = jnp.exp(m_prev - m_cur)
     p = jnp.exp(s - m_cur[:, None])
     l_s[:, 0] = l_s[:, 0] * corr + jnp.sum(p, axis=1)
-    acc_s[:] = acc_s[:] * corr[:, None] + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    acc_s[:] = acc_s[:] * corr[:, None] + _pv(p, v)
     m_s[:, 0] = m_cur
 
     @pl.when(ki == nk - 1)
@@ -166,7 +190,7 @@ def _tca_kernel(
         for a in (accs_s, accf_s, accb_s):
             a[:] = jnp.zeros_like(a)
 
-    q = q_ref[0].astype(jnp.float32)
+    q = _feed(q_ref[0])
     fg = fg_ref[0, 0][None, :]                    # [1, BK] 0/1 key mask
 
     def update(s, m_s, l_s, acc_s, v):
@@ -175,14 +199,12 @@ def _tca_kernel(
         corr = jnp.exp(m_prev - m_cur)
         p = jnp.exp(s - m_cur[:, None])
         l_s[:, 0] = l_s[:, 0] * corr + jnp.sum(p, axis=1)
-        acc_s[:] = acc_s[:] * corr[:, None] + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        acc_s[:] = acc_s[:] * corr[:, None] + _pv(p, v)
         m_s[:, 0] = m_cur
 
     # self attention over own K/V
-    ks = ks_ref[0].astype(jnp.float32)
-    vs = vs_ref[0].astype(jnp.float32)
+    ks = _feed(ks_ref[0])
+    vs = _feed(vs_ref[0])
     s_self = jax.lax.dot_general(
         q, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
@@ -190,8 +212,8 @@ def _tca_kernel(
 
     # FG / BG masked attention over modulated (reference-stream) K/V —
     # ONE logits matmul, two biased accumulators.
-    km = km_ref[0].astype(jnp.float32)
-    vm = vm_ref[0].astype(jnp.float32)
+    km = _feed(km_ref[0])
+    vm = _feed(vm_ref[0])
     s_mod = jax.lax.dot_general(
         q, km, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
@@ -295,9 +317,9 @@ def _flash_fwd_lse_kernel(
         l_s[:] = jnp.zeros_like(l_s)
         acc_s[:] = jnp.zeros_like(acc_s)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    q = _feed(q_ref[0])
+    k = _feed(k_ref[0])
+    v = _feed(v_ref[0])
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
@@ -309,9 +331,7 @@ def _flash_fwd_lse_kernel(
     corr = jnp.exp(m_prev - m_cur)
     p = jnp.exp(s - m_cur[:, None])
     l_s[:, 0] = l_s[:, 0] * corr + jnp.sum(p, axis=1)
-    acc_s[:] = acc_s[:] * corr[:, None] + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    acc_s[:] = acc_s[:] * corr[:, None] + _pv(p, v)
     m_s[:, 0] = m_cur
 
     @pl.when(ki == nk - 1)
@@ -410,9 +430,13 @@ def flash_sdpa_diff(q, k, v, key_mask, heads, block_q=512, block_k=512):
     key_mask must be an array ([B, Sk] 0/1) — pass all-ones for unmasked.
     The backward pass recomputes attention blockwise from the saved
     logsumexp (the standard flash backward), entirely in Pallas.
-    """
-    out, _ = _flash_fwd_lse(q, k, v, key_mask, heads, block_q, block_k)
-    return out
+
+    Outside differentiation JAX calls this primal body, which routes to the
+    plain single-output kernel — the residual-emitting forward (extra
+    [BH, S, 1] logsumexp output) only runs under jax.grad/vjp."""
+    return flash_sdpa(
+        q, k, v, key_mask, heads=heads, block_q=block_q, block_k=block_k
+    )
 
 
 def _flash_fwd_lse(q, k, v, key_mask, heads, block_q, block_k):
@@ -562,7 +586,7 @@ def _tca_fwd_lse_kernel(
         for a in (accs_s, accf_s, accb_s):
             a[:] = jnp.zeros_like(a)
 
-    q = q_ref[0].astype(jnp.float32)
+    q = _feed(q_ref[0])
     fg = fg_ref[0, 0][None, :]
 
     def update(s, m_s, l_s, acc_s, v):
@@ -571,20 +595,18 @@ def _tca_fwd_lse_kernel(
         corr = jnp.exp(m_prev - m_cur)
         p = jnp.exp(s - m_cur[:, None])
         l_s[:, 0] = l_s[:, 0] * corr + jnp.sum(p, axis=1)
-        acc_s[:] = acc_s[:] * corr[:, None] + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        acc_s[:] = acc_s[:] * corr[:, None] + _pv(p, v)
         m_s[:, 0] = m_cur
 
-    ks = ks_ref[0].astype(jnp.float32)
-    vs = vs_ref[0].astype(jnp.float32)
+    ks = _feed(ks_ref[0])
+    vs = _feed(vs_ref[0])
     s_self = jax.lax.dot_general(
         q, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
     update(s_self, ms_s, ls_s, accs_s, vs)
 
-    km = km_ref[0].astype(jnp.float32)
-    vm = vm_ref[0].astype(jnp.float32)
+    km = _feed(km_ref[0])
+    vm = _feed(vm_ref[0])
     s_mod = jax.lax.dot_general(
         q, km, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
@@ -633,8 +655,8 @@ def _tca_bwd_dq_kernel(
     do_fg = (cg * tq) * do
     do_bg = (cg * (1.0 - tq)) * do
 
-    ks = ks_ref[0].astype(jnp.float32)
-    vs = vs_ref[0].astype(jnp.float32)
+    ks = _feed(ks_ref[0])
+    vs = _feed(vs_ref[0])
     s_self = jax.lax.dot_general(
         q, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
@@ -647,8 +669,8 @@ def _tca_bwd_dq_kernel(
         ds, ks, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
 
-    km = km_ref[0].astype(jnp.float32)
-    vm = vm_ref[0].astype(jnp.float32)
+    km = _feed(km_ref[0])
+    vm = _feed(vm_ref[0])
     s_mod = jax.lax.dot_general(
         q, km, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
@@ -695,8 +717,8 @@ def _tca_bwd_dkv_kernel(
     do_fg = (cg * tq) * do
     do_bg = (cg * (1.0 - tq)) * do
 
-    ks = ks_ref[0].astype(jnp.float32)
-    vs = vs_ref[0].astype(jnp.float32)
+    ks = _feed(ks_ref[0])
+    vs = _feed(vs_ref[0])
     s_self = jax.lax.dot_general(
         q, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
@@ -713,8 +735,8 @@ def _tca_bwd_dkv_kernel(
         ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
 
-    km = km_ref[0].astype(jnp.float32)
-    vm = vm_ref[0].astype(jnp.float32)
+    km = _feed(km_ref[0])
+    vm = _feed(vm_ref[0])
     s_mod = jax.lax.dot_general(
         q, km, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale

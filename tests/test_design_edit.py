@@ -1,0 +1,127 @@
+"""DesignEdit baseline core tests: pixel warps, latent shifts, proximal
+masking, the key-input-masked attention mode, and the e2e tiny edits."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from freefine_tpu.baselines.design_edit import (
+    DesignEdit,
+    _dilate_latent,
+    _quantile_threshold,
+    attend_mask,
+    panning,
+    shift_latent,
+    zooming,
+)
+from freefine_tpu.config import tiny_pipeline_config
+from freefine_tpu.edit import EditConfig, EditState, build_mask_pyramid
+from freefine_tpu.pipeline import FreeFine
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return FreeFine(config=tiny_pipeline_config(), init_random=True)
+
+
+def test_panning_exposes_hole():
+    img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    out, mask = panning(img, [("right", 0.25)])
+    # content shifted right by 4; the left 4 columns are the hole
+    np.testing.assert_array_equal(out[:, 4:], img[:, :12])
+    assert (mask[:, :4] == 255).all() and (mask[:, 4:] == 0).all()
+
+
+def test_zooming_centers_and_masks_border():
+    img = np.full((16, 16, 3), 99, np.uint8)
+    out, mask = zooming(img, [0.5, 0.5])
+    assert mask[8, 8] == 0 and mask[0, 0] == 255
+    assert (mask == 0).sum() == 8 * 8
+
+
+def test_shift_latent_zero_fill():
+    x = jnp.arange(1 * 4 * 4 * 1, dtype=jnp.float32).reshape(1, 4, 4, 1)
+    out = shift_latent(x, "right", 0.5)
+    np.testing.assert_array_equal(np.asarray(out[0, :, :2, 0]), 0)
+    np.testing.assert_array_equal(
+        np.asarray(out[0, :, 2:, 0]), np.asarray(x[0, :, :2, 0])
+    )
+
+
+def test_attend_mask_dilates_and_resizes():
+    m = np.zeros((32, 32), np.uint8)
+    m[10:14, 10:14] = 255
+    out = attend_mask(m, 8, 8, attend_scale=4)
+    assert out.shape == (8, 8)
+    assert float(out.sum()) > 0
+
+
+def test_quantile_and_dilate():
+    d = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 8, 4)))
+    thr = float(_quantile_threshold(d, 0.75))
+    frac = float((jnp.abs(d) > thr).mean())
+    assert abs(frac - 0.25) < 0.05
+    m = jnp.zeros((1, 8, 8, 1)).at[0, 4, 4, 0].set(1.0)
+    dm = _dilate_latent(m, 1)
+    assert float(dm.sum()) == 9.0
+
+
+def test_design_mode_masks_bg_keys(pipe):
+    """The design-mode UNet output must differ in the masked stream when the
+    hole mask changes, and be gate-off identical when share_gate = 0."""
+    cfg = pipe.config
+    lh, lw = cfg.latent_height, cfg.latent_width
+    ecfg = EditConfig(mode="design", method=None, local_cfg=False,
+                      num_streams=4, kv_source_stream=3)
+    lat = jnp.asarray(
+        np.random.default_rng(1).normal(size=(4, lh, lw, 4)), jnp.float32
+    )
+    ctx = jnp.zeros((4, 77, cfg.unet.cross_attention_dim), jnp.float32)
+    hole = jnp.zeros((lh, lw)).at[2:6, 2:6].set(1.0)
+    keep = build_mask_pyramid(1.0 - hole, lh, lw)
+
+    on = EditState(local_region=keep, share_gate=jnp.float32(1.0))
+    off = EditState(local_region=keep, share_gate=jnp.float32(0.0))
+    out_on = pipe.unet.apply(pipe.params["unet"], lat, jnp.int32(5), ctx,
+                             edit_cfg=ecfg, edit_state=on)
+    out_off = pipe.unet.apply(pipe.params["unet"], lat, jnp.int32(5), ctx,
+                              edit_cfg=ecfg, edit_state=off)
+    out_plain = pipe.unet.apply(pipe.params["unet"], lat, jnp.int32(5), ctx)
+    np.testing.assert_allclose(
+        np.asarray(out_off), np.asarray(out_plain), atol=1e-5
+    )
+    assert not np.allclose(np.asarray(out_on[3]), np.asarray(out_plain[3]),
+                           atol=1e-5)
+    # unmasked streams unaffected
+    np.testing.assert_allclose(
+        np.asarray(out_on[0]), np.asarray(out_plain[0]), atol=1e-5
+    )
+
+
+@pytest.mark.slow
+def test_design_edit_remove_and_pan_tiny(pipe):
+    de = DesignEdit(pipe)
+    h = w = pipe.config.height
+    img = np.random.default_rng(2).integers(0, 255, (h, w, 3), dtype=np.uint8)
+    mask = np.zeros((h, w), np.uint8)
+    mask[16:32, 16:32] = 255
+
+    out = de.remove(img, mask, prompt="a photo", steps=6)
+    assert out.shape == (h, w, 3) and out.dtype == np.uint8
+    assert np.isfinite(out.astype(np.float64)).all()
+
+    out2 = de.pan(img, [("right", 0.25)], prompt="a photo", steps=6)
+    assert out2.shape == (h, w, 3)
+
+
+@pytest.mark.slow
+def test_design_edit_move_tiny(pipe):
+    de = DesignEdit(pipe)
+    h = w = pipe.config.height
+    img = np.random.default_rng(3).integers(0, 255, (h, w, 3), dtype=np.uint8)
+    mask = np.zeros((h, w), np.uint8)
+    mask[16:32, 16:32] = 255
+    out = de.move(img, mask, dx=0.25, prompt="a photo", steps=6)
+    assert out.shape == (h, w, 3) and out.dtype == np.uint8
+    assert np.isfinite(out.astype(np.float64)).all()
