@@ -81,7 +81,7 @@ def run_geobench_baseline(
                    107-206).
     """
     assert baseline in ("region_drag", "self_guidance", "drag_diffusion",
-                        "design_edit")
+                        "design_edit", "geo_diffuser")
     pidx, pcount = maybe_initialize_distributed()
     gen_dir = osp.join(dst_base, f"Gen_results_{baseline}")
     ds = GeoBenchDataset.from_json(annotations_json, gen_dir)
@@ -105,6 +105,10 @@ def run_geobench_baseline(
         from freefine_tpu.baselines.design_edit import DesignEdit
 
         runner = DesignEdit(pipe)
+    elif baseline == "geo_diffuser":
+        from freefine_tpu.baselines.geo_diffuser import GeoDiffuser
+
+        runner = GeoDiffuser(pipe)
     else:
         from freefine_tpu.baselines.drag_diffusion import DragDiffusion
 
@@ -132,6 +136,11 @@ def run_geobench_baseline(
             out = runner.edit(
                 ori_img, prompt, case.get("obj_label", "object"),
                 case["edit_param"], seed=seed, **baseline_kwargs,
+            )
+        elif baseline == "geo_diffuser":
+            out = runner.edit(
+                ori_img, ori_mask, case["edit_param"], prompt="",
+                **baseline_kwargs,
             )
         elif baseline == "design_edit":
             # translation edits as layer moves (dx/dy pixels -> fractions)
@@ -179,7 +188,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description="GeoBench baseline runner")
     ap.add_argument("--baseline", default="region_drag",
                     choices=["region_drag", "self_guidance", "drag_diffusion",
-                             "design_edit"])
+                             "design_edit", "geo_diffuser"])
     ap.add_argument("--annotations", required=True)
     ap.add_argument("--dst", required=True)
     ap.add_argument("--weights", default=None,

@@ -100,6 +100,11 @@ class EditConfig:
     # baseline's CustomAttnProcessor storage + module Hook
     # (evaluation/SelfGuidance/free_guidance.py:384-405,595-599).
     sow_token_attn: bool = False
+    # geodiff: sequence-length gate for the sown losses — losses at
+    # seq >= geodiff_loss_seq, the removal (attention-correlation) loss at
+    # exactly that seq (the reference's hw >= 32^2 gate,
+    # attention_processors.py:462).
+    geodiff_loss_seq: int = 1024
 
     def __post_init__(self):
         # 'design' = DesignEdit-style key-input masking: the background
@@ -109,8 +114,14 @@ class EditConfig:
         # (DesignEdit/src/demo/model.py:374-396).  Gated per step by
         # EditState.share_gate; the region is EditState.local_region
         # (1 = keep).
+        # 'geodiff' = GeoDiffuser attention sharing/optimization: the edit
+        # stream's attention output is rebuilt from geometrically warped
+        # base-stream queries against base K/V, with preservation/placement/
+        # removal losses sown for latent optimization (GeoDiffuser/utils/
+        # attention_processors.py:377-740).  Uses EditState.warp_coords +
+        # fg_ref (object) + fg_retain (warped object) pyramids.
         assert self.mode in (
-            "none", "edit", "bggen", "compose", "drag", "design"
+            "none", "edit", "bggen", "compose", "drag", "design", "geodiff"
         ), self.mode
         assert self.method in (None, "tca", "mmsa", "ssa", "sdsa"), self.method
 
@@ -168,6 +179,11 @@ class EditState:
     # rows = padding) reducing sown cross-attn maps to the edited object's
     # tokens.  None unless EditConfig.sow_token_attn.
     token_select: Optional[jnp.ndarray] = None
+    # GeoDiffuser: per-resolution inverse-warp grids {seq: [h, w, 2]} of
+    # absolute (y, x) source coordinates — sampling base-stream query maps
+    # at these positions applies the geometric edit.  None unless
+    # EditConfig.mode == 'geodiff'.
+    warp_coords: Optional[Dict[int, jnp.ndarray]] = None
 
 
 def attention_resolutions(latent_h: int, latent_w: int) -> Tuple[Tuple[int, int], ...]:

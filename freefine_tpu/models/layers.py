@@ -243,6 +243,29 @@ class EditAttention(nn.Module):
                 ),
             )
 
+        if (
+            edit_cfg.mode == "geodiff"
+            and edit_state is not None
+            and edit_state.warp_coords is not None
+            and x.shape[1] in edit_state.warp_coords
+        ):
+            # GeoDiffuser attention sharing + loss sowing (losses only at
+            # the >=32^2 grids, removal restricted to 32^2 for memory —
+            # attention_processors.py:462,505)
+            seq = x.shape[1]
+            compute_losses = seq >= edit_cfg.geodiff_loss_seq
+            compute_removal = seq == edit_cfg.geodiff_loss_seq
+            out, losses = attn_ops.geodiff_attention(
+                q, k, v, self.heads,
+                edit_state.warp_coords[seq],
+                edit_state.fg_ref[seq], edit_state.fg_retain[seq],
+                edit_state.share_gate, self.is_cross,
+                compute_losses, compute_removal,
+            )
+            for name, val in losses.items():
+                self.sow("intermediates", f"geodiff_{name}", val)
+            return nn.Dense(dim, dtype=self.dtype, name="to_out_0")(out)
+
         if self.is_cross:
             k_extra = v_extra = None
             if context_extra is not None:

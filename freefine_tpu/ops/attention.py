@@ -423,6 +423,139 @@ def _style_align_attention(q, k, v, heads, cfg, state):
 
 
 # ---------------------------------------------------------------------------
+# GeoDiffuser attention sharing + losses
+# ---------------------------------------------------------------------------
+
+
+def _warp_feature_map(x: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear-sample a [S, E] token map at [h, w, 2] (y, x) coordinates
+    (GeoDiffuser warp_grid_edit, zeros padding)."""
+    h, w, _ = coords.shape
+    m = x.reshape(h, w, -1)
+
+    def per_channel(ch):
+        return jax.scipy.ndimage.map_coordinates(
+            ch, [coords[..., 0], coords[..., 1]], order=1,
+            mode="constant", cval=0.0,
+        )
+
+    return jax.vmap(per_channel, in_axes=-1, out_axes=-1)(m).reshape(
+        h * w, -1
+    )
+
+
+def _coord_distance_grid(h: int, w: int) -> jnp.ndarray:
+    """[S, S] pairwise pixel distances, normalised by the grid diagonal
+    (DISTANCE_CLASS.get_coord_distance)."""
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    pts = jnp.stack([ys.reshape(-1), xs.reshape(-1)], -1)
+    d = jnp.linalg.norm(pts[:, None] - pts[None], axis=-1)
+    return d / jnp.sqrt(jnp.float32(h * h + w * w))
+
+
+def geodiff_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int,
+    warp_yx: jnp.ndarray,       # [h, w, 2] inverse-warp coords
+    m_obj: jnp.ndarray,         # [S] original object mask
+    m_warp: jnp.ndarray,        # [S] warped object mask
+    share_gate: jnp.ndarray,    # 0/1 attention-sharing step gate
+    is_cross: bool,
+    compute_losses: bool,
+    compute_removal: bool,
+):
+    """GeoDiffuser attention sharing for a [base, edit] 2-stream batch
+    (attention_processors.py:384-631).
+
+    The reference output the edited image SHOULD have is built by warping
+    the base stream's query map by the geometric transform (inside the
+    warped-object region) and attending against base K/V.  The edit
+    stream's live output (`replace_out`) attends with base keys (self) /
+    its own text keys (cross) against base VALUES, and is pulled toward
+    the reference by the sown losses:
+      sim      — L1 over the background (background_preservation_loss),
+      movement — L1 over the warped object (object_placement_loss_geodiff),
+      removal  — attention-correlation log-ratio over the vacated hole,
+                 distance-weighted (removal_loss_geodiff),
+      smooth   — spatial gradient L1 of the edit output.
+    Returns ([base_out, edit_out], {loss_name: scalar}).
+    """
+    seq = q.shape[1]
+    m_wo_edit = jnp.clip(1.0 - m_obj - m_warp, 0.0, 1.0)   # background
+    m_inpaint = jnp.clip(m_obj - m_warp, 0.0, 1.0)          # vacated hole
+
+    q_b, q_e = q[0:1], q[1:2]
+    k_b, v_b = k[0:1], v[0:1]
+    k_e = k[1:2]
+
+    # reference output: warped base queries vs base K/V (no grads)
+    q_warp = _warp_feature_map(q_b[0], warp_yx)
+    q_ref = (1.0 - m_warp[:, None]) * q_b[0] + m_warp[:, None] * q_warp
+    edit_out = jax.lax.stop_gradient(
+        sdpa(q_ref[None].astype(q.dtype), k_b, v_b, heads)
+    ).astype(jnp.float32)
+
+    # live edit output: base keys for self-attn, own (text) keys for cross
+    k_live = k_e if is_cross else jax.lax.stop_gradient(k_b)
+    replace_out = sdpa(
+        q_e, k_live, jax.lax.stop_gradient(v_b), heads
+    ).astype(jnp.float32)
+
+    losses = {}
+    if compute_losses:
+        wo = m_wo_edit[None, :, None]
+        we = m_warp[None, :, None]
+        diff = jnp.abs(edit_out - replace_out)
+        e = replace_out.shape[-1]
+        losses["sim"] = jnp.sum(diff * wo) / (jnp.sum(wo) * e + 1e-8)
+        losses["movement"] = jnp.sum(diff * we) / (jnp.sum(we) * e + 1e-8)
+        h_side = warp_yx.shape[0]
+        maps = replace_out.reshape(1, h_side, -1, e)
+        losses["smooth"] = (
+            jnp.abs(maps[:, 1:] - maps[:, :-1]).mean()
+            + jnp.abs(maps[:, :, 1:] - maps[:, :, :-1]).mean()
+        )
+        if compute_removal:
+            probs_e = _probs_headwise(q_e, k_live, heads)      # [H, S, S]
+            probs_b = jax.lax.stop_gradient(
+                _probs_headwise(q_b, k_b, heads)
+            )
+            corr = jnp.einsum("hrk,hck->hrc", probs_e, probs_b)  # [H, S, S]
+            dist = _coord_distance_grid(h_side, seq // h_side)
+            c_in = corr * m_inpaint[None, None, :]
+            c_wo = corr * m_wo_edit[None, None, :]
+            p_in = jnp.max(c_in, -1)
+            p_wo = jnp.max(c_wo, -1)
+            idx_wo = jnp.argmax(c_wo, -1)                      # [H, S]
+            d_wo = jax.lax.stop_gradient(
+                jnp.exp(-dist[jnp.arange(seq)[None], idx_wo])
+            )
+            rows = m_inpaint[None, :]
+            f = probs_e.shape[0]
+            losses["removal"] = jnp.sum(
+                rows * d_wo * (-jnp.log(p_wo + 1e-4) + jnp.log(p_in + 1e-4))
+            ) / (jnp.sum(m_inpaint) * f + 1e-8)
+
+    # attention sharing during the edit window; plain replace after
+    shared = (
+        m_warp[None, :, None] * edit_out
+        + (1.0 - m_warp[None, :, None]) * replace_out
+    )
+    out_e = jnp.where(share_gate > 0, shared, replace_out).astype(q.dtype)
+    base_out = sdpa(q_b, k_b, v_b, heads)
+    return jnp.concatenate([base_out, out_e], axis=0), losses
+
+
+def _probs_headwise(q, k, heads):
+    qh = split_heads(q, heads).astype(jnp.float32)[0]
+    kh = split_heads(k, heads).astype(jnp.float32)[0]
+    scale = 1.0 / jnp.sqrt(jnp.float32(qh.shape[-1]))
+    return jax.nn.softmax(
+        jnp.einsum("hqd,hkd->hqk", qh, kh) * scale, axis=-1
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross-attention dispatch (local CFG)
 # ---------------------------------------------------------------------------
 
