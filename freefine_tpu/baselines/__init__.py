@@ -16,6 +16,7 @@ reimplemented here on the freefine_tpu stack:
 """
 
 from freefine_tpu.baselines.design_edit import DesignEdit
+from freefine_tpu.baselines.diffusion_handles import DiffusionHandles
 from freefine_tpu.baselines.geo_diffuser import GeoDiffuser
 from freefine_tpu.baselines.motion_guidance import MotionGuidance
 from freefine_tpu.baselines.drag_diffusion import (
@@ -28,7 +29,7 @@ from freefine_tpu.baselines.region_drag import RegionDrag, region_pair_to_pts
 from freefine_tpu.baselines.self_guidance import SelfGuidance
 
 __all__ = [
-    "DesignEdit", "DragDiffusion", "GeoDiffuser", "MotionGuidance",
-    "RegionDrag", "SelfGuidance",
+    "DesignEdit", "DiffusionHandles", "DragDiffusion", "GeoDiffuser",
+    "MotionGuidance", "RegionDrag", "SelfGuidance",
     "init_lora", "merge_lora", "train_lora", "region_pair_to_pts",
 ]
