@@ -114,14 +114,15 @@ def run_geobench_baseline(
 
         runner = DragDiffusion(pipe)
 
+    size = pipe.config.height
     results: List[Dict] = []
     t0 = time.time()
     for i, case in enumerate(my_cases):
         case_t0 = time.time()
         da_n, ins_id, edit_ins = case["da_n"], case["ins_id"], case["edit_ins"]
-        ori_img = read_image(ds.resolve(case["ori_img_path"]))
-        ori_mask = read_mask(ds.resolve(case["ori_mask_path"]))
-        tgt_mask = read_mask(ds.resolve(case["tgt_mask_path"]))
+        ori_img = read_image(ds.resolve(case["ori_img_path"]), size=size)
+        ori_mask = read_mask(ds.resolve(case["ori_mask_path"]), size=size)
+        tgt_mask = read_mask(ds.resolve(case["tgt_mask_path"]), size=size)
         prompt = f"image of {case.get('obj_label', 'object')}"
 
         if baseline == "region_drag":
