@@ -45,6 +45,12 @@ NEG_INF = -1e9
 FLASH_MODE = os.environ.get("FREEFINE_FLASH", "auto")
 FLASH_MIN_SEQ = 256
 
+# Einsum-path matmul feed precision, shared convention with the Pallas
+# kernels (ops/flash_attention.py): 'bf16' (default) keeps bf16 operands on
+# the MXU with f32 accumulation; 'f32' upcasts first (bit-stable golden
+# path).  Only affects bf16 inputs — f32 inputs are unchanged either way.
+_COMPUTE_BF16 = os.environ.get("FREEFINE_FLASH_COMPUTE", "bf16") != "f32"
+
 
 _FLASH_SUSPENDED = False
 
@@ -140,20 +146,29 @@ def sdpa(
     heads: int,
     bias: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Scaled dot-product attention with f32 logits/softmax.
+    """Scaled dot-product attention with f32 logits/softmax accumulation.
 
     q: [B, Sq, E], k/v: [B, Sk, E], bias broadcastable to [B, H, Sq, Sk].
+    With the default bf16 feed, bf16 operands hit the MXU natively and the
+    logits/softmax still accumulate in f32.
     """
     dtype = q.dtype
-    qh = split_heads(q, heads).astype(jnp.float32)
-    kh = split_heads(k, heads).astype(jnp.float32)
+    qh = split_heads(q, heads)
+    kh = split_heads(k, heads)
     vh = split_heads(v, heads)
+    if not _COMPUTE_BF16:
+        qh = qh.astype(jnp.float32)
+        kh = kh.astype(jnp.float32)
     scale = 1.0 / jnp.sqrt(jnp.float32(qh.shape[-1]))
-    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * scale
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+    ) * scale
     if bias is not None:
         logits = logits + bias
     probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs, vh, preferred_element_type=jnp.float32
+    )
     return merge_heads(out).astype(dtype)
 
 
