@@ -23,7 +23,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--baseline", default="region_drag",
-                    choices=["region_drag", "self_guidance", "drag_diffusion"])
+                    choices=["region_drag", "self_guidance", "drag_diffusion",
+                             "design_edit", "geo_diffuser",
+                             "motion_guidance", "diffusion_handles"])
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--image", default=None)
     ap.add_argument("--src-mask", default=None)
@@ -81,7 +83,7 @@ def main():
         out = SelfGuidance(pipe).edit(
             img, args.prompt, args.obj, edit_param, steps=steps,
         )
-    else:
+    elif args.baseline == "drag_diffusion":
         from freefine_tpu.baselines import DragDiffusion
 
         cs = np.argwhere(src > 0).mean(0)[::-1]
@@ -92,6 +94,54 @@ def main():
             n_pix_step=10 if args.tiny else 80,
             train_lora_steps=4 if args.tiny else 80,
             lora_rank=2 if args.tiny else 16,
+        )
+    elif args.baseline == "design_edit":
+        from freefine_tpu.baselines import DesignEdit
+
+        cs = np.argwhere(src > 0).mean(0)
+        ct = np.argwhere(tgt > 0).mean(0)
+        out = DesignEdit(pipe).move(
+            img, src, dx=float(ct[1] - cs[1]) / w, dy=float(cs[0] - ct[0]) / h,
+            prompt=args.prompt, steps=steps,
+        )
+    elif args.baseline == "geo_diffuser":
+        from freefine_tpu.baselines import GeoDiffuser
+
+        cs = np.argwhere(src > 0).mean(0)
+        ct = np.argwhere(tgt > 0).mean(0)
+        param = [float(ct[1] - cs[1]), float(ct[0] - cs[0]),
+                 0, 0, 0, 0, 1, 1, 1]
+        out = GeoDiffuser(pipe).edit(img, src, param, steps=steps)
+    elif args.baseline == "motion_guidance":
+        import jax
+        import jax.numpy as jnp
+
+        from freefine_tpu.baselines import MotionGuidance
+        from freefine_tpu.models.raft import RAFT, RAFTConfig
+
+        raft = RAFT(config=RAFTConfig(iters=2 if args.tiny else 5))
+        x0 = jnp.zeros((1, h, w, 3))
+        raft_params = raft.init(jax.random.key(0), x0, x0)
+        cs = np.argwhere(src > 0).mean(0)
+        ct = np.argwhere(tgt > 0).mean(0)
+        param = [float(ct[1] - cs[1]), float(ct[0] - cs[0]),
+                 0, 0, 0, 0, 1, 1, 1]
+        out = MotionGuidance(pipe, raft, raft_params).edit(
+            img, param, src, args.prompt, steps=min(steps, 8),
+            num_recursive=2 if args.tiny else 10,
+        )
+    else:
+        from freefine_tpu.baselines import DiffusionHandles
+
+        depth = np.full((h, w), 4.0, np.float32)
+        cs = np.argwhere(src > 0).mean(0)
+        ct = np.argwhere(tgt > 0).mean(0)
+        param = [float(ct[1] - cs[1]), float(ct[0] - cs[0]),
+                 0, 0, 0, 0, 1, 1, 1]
+        out = DiffusionHandles(pipe).edit(
+            img, depth, src, param, prompt=args.prompt, steps=min(steps, 8),
+            num_optsteps=1 if args.tiny else 3,
+            nti_iters=2 if args.tiny else 10,
         )
     print(f"{args.baseline}: {time.time()-t0:.2f}s -> {out.shape}")
 

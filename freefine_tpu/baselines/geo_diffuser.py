@@ -51,6 +51,7 @@ LOSS_WEIGHTS = {
     "movement": (6.5, 3.34),
     "removal": (4.34, 2.67),
     "smooth": (0.0, 0.0),
+    "amodal": (80.5, 3.5),
 }
 
 
@@ -216,10 +217,18 @@ class GeoDiffuser:
         )
         m_warp = warp_mask(m, matrix)
 
+        # amodal ring: the dilated warped-object boundary minus the warped
+        # object (attention_processors.py:347-348)
+        from freefine_tpu.masks import dilate
+
+        ring = np.clip(
+            np.asarray(dilate(jnp.asarray(m_warp), max(h // 32, 2)))
+            - m_warp, 0.0, 1.0,
+        )
         state = EditState(
             fg_ref=build_mask_pyramid(jnp.asarray(m), lh, lw),
             fg_retain=build_mask_pyramid(jnp.asarray(m_warp), lh, lw),
-            local_region=build_mask_pyramid(jnp.asarray(m), lh, lw),
+            local_region=build_mask_pyramid(jnp.asarray(ring), lh, lw),
             warp_coords=warp_coord_pyramid(matrix, lh, lw),
         )
 

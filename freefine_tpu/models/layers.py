@@ -261,6 +261,11 @@ class EditAttention(nn.Module):
                 edit_state.fg_ref[seq], edit_state.fg_retain[seq],
                 edit_state.share_gate, self.is_cross,
                 compute_losses, compute_removal,
+                # geodiff repurposes local_region as the amodal-ring pyramid
+                m_amodal=(
+                    edit_state.local_region[seq]
+                    if seq in edit_state.local_region else None
+                ),
             )
             for name, val in losses.items():
                 self.sow("intermediates", f"geodiff_{name}", val)

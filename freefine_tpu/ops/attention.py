@@ -469,6 +469,36 @@ def _coord_distance_grid(h: int, w: int) -> jnp.ndarray:
     return d / jnp.sqrt(jnp.float32(h * h + w * w))
 
 
+def _interpolate_from_mask(feats, fg, dist):
+    """Inverse-distance interpolation of `feats` [S, E] from the 4 nearest
+    fg-masked positions (GeoDiffuser interpolate_from_mask,
+    attention_sharing.py:68-105).  Returns (interpolated [S, E],
+    distance weights [S])."""
+    d = dist * 256.0 + 1e5 * (1.0 - fg)[None, :]
+    inv = 1.0 / (d + 1e-4)
+    vals, idx = jax.lax.top_k(inv, 4)                    # [S, 4]
+    sel = feats[idx]                                     # [S, 4, E]
+    interp = (sel * vals[..., None]).sum(-2) / (
+        vals.sum(-1)[..., None] + 1e-12
+    )
+    w = jnp.exp(-(1.0 / jnp.maximum(vals.max(-1), 1e-12)) / 5.0)
+    return interp, w
+
+
+def _box_smooth_tokens(feats, h, w):
+    """3x3 mean smoothing of a [S, E] token map (stand-in for the
+    reference's Gaussian feature smoother, generic_torch.py:145-154)."""
+    m = feats.reshape(1, h, w, -1)
+    s = jax.lax.reduce_window(
+        m, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1), "SAME"
+    )
+    c = jax.lax.reduce_window(
+        jnp.ones_like(m[..., :1]), 0.0, jax.lax.add,
+        (1, 3, 3, 1), (1, 1, 1, 1), "SAME",
+    )
+    return (s / c).reshape(feats.shape)
+
+
 def geodiff_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int,
     warp_yx: jnp.ndarray,       # [h, w, 2] inverse-warp coords
@@ -478,6 +508,7 @@ def geodiff_attention(
     is_cross: bool,
     compute_losses: bool,
     compute_removal: bool,
+    m_amodal: Optional[jnp.ndarray] = None,   # [S] amodal ring mask
 ):
     """GeoDiffuser attention sharing for a [base, edit] 2-stream batch
     (attention_processors.py:384-631).
@@ -550,6 +581,27 @@ def geodiff_attention(
             losses["removal"] = jnp.sum(
                 rows * d_wo * (-jnp.log(p_wo + 1e-4) + jnp.log(p_in + 1e-4))
             ) / (jnp.sum(m_inpaint) * f + 1e-8)
+
+            if m_amodal is not None:
+                # amodal completion (amodal_loss_geodiff,
+                # attention_processors.py:289-305): pull the amodal ring
+                # toward inverse-distance-interpolated object features
+                interp, iw = _interpolate_from_mask(
+                    edit_out[0], m_warp, dist
+                )
+                interp = jnp.where(
+                    m_warp[:, None] > 0.5,
+                    jax.lax.stop_gradient(edit_out[0]), interp,
+                )
+                interp = _box_smooth_tokens(
+                    interp, h_side, seq // h_side
+                )
+                am = (m_amodal * iw)[:, None]
+                e = replace_out.shape[-1]
+                losses["amodal"] = jnp.sum(
+                    jnp.abs(jax.lax.stop_gradient(interp)
+                            - replace_out[0]) * am
+                ) / (jnp.sum(am) * e + 1e-8)
 
     # attention sharing during the edit window; plain replace after
     shared = (

@@ -47,12 +47,14 @@ def test_geodiff_attention_sharing_and_losses():
     m_obj = jnp.zeros((s,)).at[5].set(1.0)
     m_warp = jnp.zeros((s,)).at[10].set(1.0)
 
+    m_amodal = jnp.zeros((s,)).at[11].set(1.0)
     out, losses = geodiff_attention(
         q, k, v, heads, warp, m_obj, m_warp, jnp.float32(1.0),
         is_cross=False, compute_losses=True, compute_removal=True,
+        m_amodal=m_amodal,
     )
     assert out.shape == q.shape
-    for name in ("sim", "movement", "removal", "smooth"):
+    for name in ("sim", "movement", "removal", "smooth", "amodal"):
         assert name in losses and np.isfinite(float(losses[name]))
 
     # base stream is plain self-attention
