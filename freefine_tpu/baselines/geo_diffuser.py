@@ -140,13 +140,18 @@ class GeoDiffuser:
             )
             return eps, _sum_geodiff_losses(inters)
 
-        def run(params, lat2, ctx2, state, traj, gates, l_eff):
+        cfg_l = pipe.config
+        lh_l, lw_l = cfg_l.latent_height, cfg_l.latent_width
+
+        def run(params, lat2, ctx2, state, traj, gates, lr_sched, m_warp_lat):
             """lat2 [2, lh, lw, 4] = [base, edit]; gates [steps, 3] =
-            (optimize, share, pin); traj [steps+1, 1, ...]."""
+            (optimize, share, pin); traj [steps+1, 1, ...]; lr_sched
+            [steps] decaying step sizes; m_warp_lat [lh, lw] warped mask."""
+            mw = m_warp_lat[None, :, :, None]
 
             def body(carry, inp):
                 lat, _ = carry
-                t, g, tgt_base = inp
+                t, g, tgt_base, l_eff = inp
                 g_opt, g_share, g_pin = g[0], g[1], g[2]
                 st = EditState(
                     fg_retain=state.fg_retain, fg_ref=state.fg_ref,
@@ -158,14 +163,25 @@ class GeoDiffuser:
                     jnp.where(g_pin > 0, tgt_base, lat[0:1])
                 )
 
-                # latent optimization on the edit stream (editor.py:240-330)
+                # latent optimization on the edit stream (editor.py:240-330):
+                # double step inside the warped region (_update_latent,
+                # optimization.py:226-237), NaN-guarded, norm-preserving
                 def loss_of(z_edit):
                     pair = jnp.concatenate([lat[0:1], z_edit], axis=0)
                     _, loss = unet_losses(params, pair, t, ctx2, st)
                     return loss
 
-                grad = jax.grad(loss_of)(lat[1:2])
-                lat = lat.at[1:2].add(-g_opt * l_eff * grad.astype(lat.dtype))
+                grad = jnp.nan_to_num(
+                    jax.grad(loss_of)(lat[1:2]),
+                    posinf=0.0, neginf=0.0, nan=0.0,
+                )
+                z_old = lat[1:2].astype(jnp.float32)
+                step = g_opt * l_eff * (1.0 + mw)
+                z_new = z_old - step * grad.astype(jnp.float32)
+                z_new = z_new * (
+                    jnp.linalg.norm(z_old) / (jnp.linalg.norm(z_new) + 1e-12)
+                )
+                lat = lat.at[1:2].set(z_new.astype(lat.dtype))
 
                 # the actual denoise step with attention sharing
                 eps, loss_val = unet_losses(params, lat, t, ctx2, st)
@@ -183,7 +199,7 @@ class GeoDiffuser:
             # CURRENT noise level, traj[steps - i]
             (lat, _), _ = jax.lax.scan(
                 body, (lat2, jnp.float32(0.0)),
-                (schedule.timesteps, gates, traj[::-1][:-1]),
+                (schedule.timesteps, gates, traj[::-1][:-1], lr_sched),
             )
             return lat
 
@@ -246,8 +262,14 @@ class GeoDiffuser:
             i < latent_replace * n,
         ], axis=1).astype(np.float32)
 
+        # decaying effective step: lr * (N - i) * 50/N (editor.py:207)
+        lr_sched = (lr * (n - i) * (50.0 / n)).astype(np.float32)
+        m_warp_lat = jax.image.resize(
+            jnp.asarray(m_warp), (lh, lw), "nearest"
+        )
+
         run = self._loop(steps, float(lr))
         lat2 = jnp.concatenate([traj[-1], traj[-1]], axis=0)
         out = run(pipe.params, lat2, ctx2, state, traj,
-                  jnp.asarray(gates), jnp.float32(lr))
+                  jnp.asarray(gates), jnp.asarray(lr_sched), m_warp_lat)
         return pipe.latent_to_image(out[1:2])[0]
