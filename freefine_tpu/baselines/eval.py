@@ -26,6 +26,7 @@ from freefine_tpu.data.geobench import (
     save_image,
     save_json,
 )
+from freefine_tpu.ops.geometry import re_edit_2d
 from freefine_tpu.parallel.harness import (
     _allgather_results,
     maybe_initialize_distributed,
@@ -59,6 +60,13 @@ def _drag_points_from_case(ori_mask, tgt_mask, edit_param, n_points=30,
     return handles_xy[ok], targets_xy[ok]
 
 
+ALL_BASELINES = (
+    "region_drag", "self_guidance", "drag_diffusion", "design_edit",
+    "geo_diffuser", "motion_guidance", "diffusion_handles",
+    "dragon_diffusion",
+)
+
+
 def run_geobench_baseline(
     pipe,
     annotations_json: str,
@@ -67,6 +75,7 @@ def run_geobench_baseline(
     max_cases: Optional[int] = None,
     seed: int = 42,
     progress: Callable[[str], None] = print,
+    runner_kwargs: Optional[Dict] = None,
     **baseline_kwargs,
 ) -> Optional[Dict]:
     """Run a baseline core over GeoBench.  Per-baseline protocols:
@@ -79,9 +88,25 @@ def run_geobench_baseline(
     drag_diffusion: <= 30 mask-sampled handles -> analytic targets, union
                    mask, per-image LoRA (DragDiffusion/geobench_eval.py:
                    107-206).
+    motion_guidance: analytic target flow from edit_param over the source
+                   mask, prompt = the image's 4v_caption
+                   (MotionGuidance/eval_geobench.py:29-61,113-147).
+    diffusion_handles: Depth-Anything depth normalised d/max + 1e-2 with
+                   the far plane snapped to 1.0 and the foreground fixed to
+                   the 0.5 plane for 2D transforms, prompt ""
+                   (DiffusionHandles/eval_geobench.py:395-443).
+    dragon_diffusion: DragonDiffusion-parity feature-energy guidance over
+                   the FreeFine coarse edit (pipe.guided_generation; the
+                   reference drives run_move with the mask centroid as the
+                   single drag point, DragonDiffusion/eval_geobench.py:
+                   15-45).
+
+    `runner_kwargs` feeds the runner constructor (e.g. raft/raft_params
+    for motion_guidance, depth_fn for diffusion_handles);
+    `baseline_kwargs` feeds the per-case edit call.
     """
-    assert baseline in ("region_drag", "self_guidance", "drag_diffusion",
-                        "design_edit", "geo_diffuser")
+    assert baseline in ALL_BASELINES, baseline
+    runner_kwargs = dict(runner_kwargs or {})
     pidx, pcount = maybe_initialize_distributed()
     gen_dir = osp.join(dst_base, f"Gen_results_{baseline}")
     ds = GeoBenchDataset.from_json(annotations_json, gen_dir)
@@ -109,6 +134,32 @@ def run_geobench_baseline(
         from freefine_tpu.baselines.geo_diffuser import GeoDiffuser
 
         runner = GeoDiffuser(pipe)
+    elif baseline == "motion_guidance":
+        from freefine_tpu.baselines.motion_guidance import MotionGuidance
+
+        raft = runner_kwargs.pop("raft", None)
+        raft_params = runner_kwargs.pop("raft_params", None)
+        if raft is None:
+            import jax
+            import jax.numpy as jnp
+
+            from freefine_tpu.models.raft import RAFT, RAFTConfig
+
+            raft = RAFT(config=RAFTConfig())
+            x = jnp.zeros((1, pipe.config.height, pipe.config.width, 3))
+            raft_params = raft.init(jax.random.key(0), x, x)
+        runner = MotionGuidance(pipe, raft, raft_params)
+    elif baseline == "diffusion_handles":
+        from freefine_tpu.baselines.diffusion_handles import DiffusionHandles
+
+        dh_depth_fn = runner_kwargs.pop("depth_fn", None)
+        if dh_depth_fn is None:
+            from freefine_tpu.data.author3d import make_depth_fn
+
+            dh_depth_fn = make_depth_fn("depth_anything")
+        runner = DiffusionHandles(pipe)
+    elif baseline == "dragon_diffusion":
+        runner = pipe  # drives pipe.guided_generation directly
     else:
         from freefine_tpu.baselines.drag_diffusion import DragDiffusion
 
@@ -122,7 +173,10 @@ def run_geobench_baseline(
         da_n, ins_id, edit_ins = case["da_n"], case["ins_id"], case["edit_ins"]
         ori_img = read_image(ds.resolve(case["ori_img_path"]), size=size)
         ori_mask = read_mask(ds.resolve(case["ori_mask_path"]), size=size)
-        tgt_mask = read_mask(ds.resolve(case["tgt_mask_path"]), size=size)
+        tgt_mask = (
+            read_mask(ds.resolve(case["tgt_mask_path"]), size=size)
+            if "tgt_mask_path" in case else None
+        )
         prompt = f"image of {case.get('obj_label', 'object')}"
 
         if baseline == "region_drag":
@@ -151,6 +205,35 @@ def run_geobench_baseline(
                 ori_img, ori_mask,
                 dx=float(p[0]) / w_img, dy=-float(p[1]) / h_img,
                 prompt=prompt, **baseline_kwargs,
+            )
+        elif baseline == "motion_guidance":
+            # eval_geobench.py:113-147: caption prompt, analytic flow
+            out = runner.edit(
+                ori_img, case["edit_param"], ori_mask,
+                case.get("4v_caption", ""), seed=seed, **baseline_kwargs,
+            )
+        elif baseline == "diffusion_handles":
+            # eval_geobench.py:395-417: normalised depth, planar foreground
+            d = np.asarray(dh_depth_fn(ori_img), np.float32)
+            d = d / (d.max() + 1e-8) + 1e-2
+            d[d > 0.95] = 1.0
+            d[ori_mask > 127] = 0.5  # is_2D_transform: planar fg depth
+            out = runner.edit(
+                ori_img, d, ori_mask, case["edit_param"], prompt="",
+                **baseline_kwargs,
+            )
+        elif baseline == "dragon_diffusion":
+            # the reference moves the mask centroid by (dx, dy) with
+            # run_move (eval_geobench.py:33-45); our parity path applies
+            # the same edit as feature-energy guidance over the coarse
+            # 2D warp
+            coarse, dd_target, _ = re_edit_2d(
+                ori_img, ori_mask, case["edit_param"], ori_img
+            )
+            out = runner.guided_generation(
+                ori_img, ori_mask, coarse, dd_target,
+                case.get("4v_caption", ""),
+                cons_area=dd_target, seed=seed, **baseline_kwargs,
             )
         else:
             handles, targets = _drag_points_from_case(
@@ -188,8 +271,7 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser(description="GeoBench baseline runner")
     ap.add_argument("--baseline", default="region_drag",
-                    choices=["region_drag", "self_guidance", "drag_diffusion",
-                             "design_edit", "geo_diffuser"])
+                    choices=list(ALL_BASELINES))
     ap.add_argument("--annotations", required=True)
     ap.add_argument("--dst", required=True)
     ap.add_argument("--weights", default=None,

@@ -89,13 +89,23 @@ def warp_mask(mask: np.ndarray, matrix: np.ndarray) -> np.ndarray:
     return ((mask[iy, ix] > 0.5) & inside).astype(np.float32)
 
 
-def _sum_geodiff_losses(inters, place_weights=LOSS_WEIGHTS) -> jnp.ndarray:
+def _sum_geodiff_losses(
+    inters, place_weights=LOSS_WEIGHTS, removal_self_mult=1.0
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Flatten sown geodiff_* intermediates and apply the self/cross loss
-    weights (self-attn paths contain 'attn1')."""
+    weights (self-attn paths contain 'attn1').
+
+    Returns (weighted_total, raw_removal_self): the unweighted self-attn
+    removal-loss sum is what the reference logs as
+    loss_log_dict["self"]["removal"] (attention_processors.py:606-608) and
+    feeds the adaptive controller.  `removal_self_mult` scales the SELF
+    removal weight only — the single entry
+    adaptive_optimization_step_editing mutates (optimization.py:36-47)."""
     total = jnp.float32(0.0)
+    removal_self = jnp.float32(0.0)
 
     def walk(tree, path):
-        nonlocal total
+        nonlocal total, removal_self
         if isinstance(tree, dict):
             for kk, vv in tree.items():
                 walk(vv, path + "/" + kk)
@@ -105,10 +115,36 @@ def _sum_geodiff_losses(inters, place_weights=LOSS_WEIGHTS) -> jnp.ndarray:
         else:
             for name, (w_self, w_cross) in place_weights.items():
                 if path.endswith("geodiff_" + name):
-                    w = w_self if "attn1" in path else w_cross
+                    is_self = "attn1" in path
+                    w = w_self if is_self else w_cross
+                    if name == "removal" and is_self:
+                        w = w * removal_self_mult
+                        removal_self = removal_self + tree
                     total = total + w * tree
     walk(inters, "")
-    return total
+    return total, removal_self
+
+
+def adaptive_removal_schedule(
+    steps: int, skip: int = 1, removal_in: float = -1.5
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side per-step (phase, expected-loss) arrays for the adaptive
+    removal-weight controller (optimization.py:
+    adaptive_optimization_step_editing).
+
+    phase 0 (i/N < 0.4): expected = removal_in / 1.25^remaining with
+    remaining = int((0.4 - i/N) * N / skip); weight *= 1.3 when the logged
+    self-removal loss sits above the target, /= 2 when far below it.
+    phase 1 (0.4 < i/N < 0.8): weight *= 2 while loss > removal_in - 0.3,
+    else reset.  phase 2 (i/N == 0.4 or >= 0.8): reset to the defaults —
+    which the eval sets to the GeoBench table itself (editor.py:636-638),
+    so reset == multiplier 1."""
+    i = np.arange(steps)
+    p = i / steps
+    phase = np.where(p < 0.4, 0, np.where((p > 0.4) & (p < 0.8), 1, 2))
+    remaining = ((0.4 - p) * steps / skip).astype(np.int64)
+    expected = removal_in / (1.25 ** np.maximum(remaining, 0))
+    return phase.astype(np.int32), expected.astype(np.float32)
 
 
 class GeoDiffuser:
@@ -132,26 +168,29 @@ class GeoDiffuser:
         ecfg = EditConfig(mode="geodiff", method=None, local_cfg=False,
                           num_streams=2, geodiff_loss_seq=loss_seq)
 
-        def unet_losses(params, pair, t, ctx2, state):
+        def unet_losses(params, pair, t, ctx2, state, rem_mult):
             eps, inters = pipe.unet.apply(
                 params["unet"], pair, t, ctx2,
                 edit_cfg=ecfg, edit_state=state,
                 mutable=["intermediates"],
             )
-            return eps, _sum_geodiff_losses(inters)
+            total, removal_self = _sum_geodiff_losses(
+                inters, removal_self_mult=rem_mult
+            )
+            return eps, total, removal_self
 
-        cfg_l = pipe.config
-        lh_l, lw_l = cfg_l.latent_height, cfg_l.latent_width
-
-        def run(params, lat2, ctx2, state, traj, gates, lr_sched, m_warp_lat):
+        def run(params, lat2, ctx2, state, traj, gates, lr_sched, m_warp_lat,
+                adapt_sched, removal_in):
             """lat2 [2, lh, lw, 4] = [base, edit]; gates [steps, 3] =
             (optimize, share, pin); traj [steps+1, 1, ...]; lr_sched
-            [steps] decaying step sizes; m_warp_lat [lh, lw] warped mask."""
+            [steps] decaying step sizes; m_warp_lat [lh, lw] warped mask;
+            adapt_sched [steps, 3] = (enabled, phase, expected) for the
+            adaptive removal-weight controller."""
             mw = m_warp_lat[None, :, :, None]
 
             def body(carry, inp):
-                lat, _ = carry
-                t, g, tgt_base, l_eff = inp
+                lat, rem_mult = carry
+                t, g, tgt_base, l_eff, ad = inp
                 g_opt, g_share, g_pin = g[0], g[1], g[2]
                 st = EditState(
                     fg_retain=state.fg_retain, fg_ref=state.fg_ref,
@@ -168,13 +207,13 @@ class GeoDiffuser:
                 # optimization.py:226-237), NaN-guarded, norm-preserving
                 def loss_of(z_edit):
                     pair = jnp.concatenate([lat[0:1], z_edit], axis=0)
-                    _, loss = unet_losses(params, pair, t, ctx2, st)
-                    return loss
+                    _, loss, removal = unet_losses(
+                        params, pair, t, ctx2, st, rem_mult
+                    )
+                    return loss, removal
 
-                grad = jnp.nan_to_num(
-                    jax.grad(loss_of)(lat[1:2]),
-                    posinf=0.0, neginf=0.0, nan=0.0,
-                )
+                grad, removal = jax.grad(loss_of, has_aux=True)(lat[1:2])
+                grad = jnp.nan_to_num(grad, posinf=0.0, neginf=0.0, nan=0.0)
                 z_old = lat[1:2].astype(jnp.float32)
                 step = g_opt * l_eff * (1.0 + mw)
                 z_new = z_old - step * grad.astype(jnp.float32)
@@ -183,8 +222,27 @@ class GeoDiffuser:
                 )
                 lat = lat.at[1:2].set(z_new.astype(lat.dtype))
 
+                # adaptive removal-weight controller (optimization.py:
+                # adaptive_optimization_step_editing, invoked right after
+                # the optimization step at editor.py:284-293); active only
+                # on optimization steps
+                ad_on, phase, expected = ad[0], ad[1], ad[2]
+                m0 = jnp.where(
+                    removal > expected, rem_mult * 1.3,
+                    jnp.where(2.5 * expected > removal, rem_mult / 2.0,
+                              rem_mult),
+                )
+                m1 = jnp.where(removal > removal_in - 0.3,
+                               rem_mult * 2.0, 1.0)
+                new_mult = jnp.where(
+                    phase == 0, m0, jnp.where(phase == 1, m1, 1.0)
+                )
+                rem_mult = jnp.where(
+                    (ad_on > 0) & (g_opt > 0), new_mult, rem_mult
+                )
+
                 # the actual denoise step with attention sharing
-                eps, loss_val = unet_losses(params, lat, t, ctx2, st)
+                eps, _, _ = unet_losses(params, lat, t, ctx2, st, rem_mult)
                 a_t = schedule.alpha_at(t)
                 a_p = schedule.alpha_prev_strict(t - schedule.step_delta)
                 x32 = lat.astype(jnp.float32)
@@ -193,15 +251,16 @@ class GeoDiffuser:
                 lat = (jnp.sqrt(a_p) * x0 + jnp.sqrt(1.0 - a_p) * e32).astype(
                     lat.dtype
                 )
-                return (lat, loss_val), None
+                return (lat, rem_mult), rem_mult
 
             # base-stream pin target at step i = inversion latent at the
             # CURRENT noise level, traj[steps - i]
-            (lat, _), _ = jax.lax.scan(
-                body, (lat2, jnp.float32(0.0)),
-                (schedule.timesteps, gates, traj[::-1][:-1], lr_sched),
+            (lat, _), mults = jax.lax.scan(
+                body, (lat2, jnp.float32(1.0)),
+                (schedule.timesteps, gates, traj[::-1][:-1], lr_sched,
+                 adapt_sched),
             )
-            return lat
+            return lat, mults
 
         self._cache[key] = jax.jit(run)
         return self._cache[key]
@@ -217,6 +276,8 @@ class GeoDiffuser:
         optimize_steps: float = 0.95,
         latent_replace: float = 0.6,
         share_steps: float = 0.97,
+        adaptive: bool = True,
+        removal_loss_value: float = -1.5,
         seed: int = 42,
     ) -> np.ndarray:
         """Geometric edit via the GeoBench 9-param edit_param (2D affine)."""
@@ -268,8 +329,19 @@ class GeoDiffuser:
             jnp.asarray(m_warp), (lh, lw), "nearest"
         )
 
+        phase, expected = adaptive_removal_schedule(
+            steps, removal_in=removal_loss_value
+        )
+        adapt_sched = np.stack([
+            np.full(steps, 1.0 if adaptive else 0.0, np.float32),
+            phase.astype(np.float32),
+            expected,
+        ], axis=1)
+
         run = self._loop(steps, float(lr))
         lat2 = jnp.concatenate([traj[-1], traj[-1]], axis=0)
-        out = run(pipe.params, lat2, ctx2, state, traj,
-                  jnp.asarray(gates), jnp.asarray(lr_sched), m_warp_lat)
+        out, _ = run(pipe.params, lat2, ctx2, state, traj,
+                     jnp.asarray(gates), jnp.asarray(lr_sched), m_warp_lat,
+                     jnp.asarray(adapt_sched),
+                     jnp.float32(removal_loss_value))
         return pipe.latent_to_image(out[1:2])[0]

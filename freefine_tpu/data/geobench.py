@@ -80,12 +80,16 @@ class GeoBenchDataset:
         self.cases: List[Dict] = []
         self.existing_results: List[Dict] = []
         for da_n, da in annotations.items():
+            # image-level metadata (e.g. '4v_caption', the prompt several
+            # baseline protocols use) rides along on every case
+            da_meta = {k: v for k, v in da.items() if k != "instances"}
             for ins_id, current_ins in da.get("instances", {}).items():
                 for edit_ins, pack in current_ins.items():
                     item = {
                         "da_n": str(da_n),
                         "ins_id": str(ins_id),
                         "edit_ins": str(edit_ins),
+                        **da_meta,
                         **pack,
                     }
                     expected = self.output_path(da_n, ins_id, edit_ins)

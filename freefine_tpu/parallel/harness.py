@@ -291,6 +291,13 @@ def run_geobench_inference(
 
     Returns the merged results dict on process 0 (None elsewhere).
     """
+    if task == "author3d":
+        from freefine_tpu.data.author3d import run_geobench_author3d
+
+        return run_geobench_author3d(
+            annotations_json, dst_base, max_cases=max_cases,
+            progress=progress,
+        )
     if task == "bggen":
         return run_geobench_bggen(
             pipe, annotations_json, dst_base,
@@ -332,15 +339,37 @@ def run_geobench_inference(
                     )
                 )
             )
-            target_mask = read_mask(ds.resolve(case["target_mask_0"]))
-            draw_mask = read_mask(ds.resolve(case["draw_mask"]))
+            target_mask = read_mask(
+                ds.resolve(
+                    case.get(
+                        "target_mask_0",
+                        osp.join(dst_base, "Geo-Bench-3D", "mesh_mask",
+                                 da_n, ins_id, f"{edit_ins}.png"),
+                    )
+                )
+            )
+            draw_mask = read_mask(
+                ds.resolve(
+                    case.get(
+                        "draw_mask",
+                        osp.join(dst_base, "Geo-Bench-3D", "md_mask",
+                                 da_n, ins_id, f"{edit_ins}.png"),
+                    )
+                )
+            )
+            # exact 3D protocol (freefine_batch_infer_3d_depth.py:144-162):
+            # guidance_text = obj_label, end_step 50/end_scale 0.0 (TCA
+            # modulation active to the end), cons_area = target_mask,
+            # reduce_inp_artifacts on.
             out = pipe.generation(
                 ori_img, ori_mask, coarse, target_mask,
-                case.get("edit_prompt", ""),
+                case.get("obj_label", ""),
                 guidance_scale=guidance_scale, eta=eta,
                 num_step=num_step, start_step=start_step,
-                end_step=10, method_type="tca",
+                end_step=num_step, end_scale=0.0, method_type="tca",
                 draw_mask=draw_mask, use_auto_draw=False,
+                cons_area=target_mask,
+                reduce_inp_artifacts=True,
                 seed=seed,
             )
         else:
@@ -353,14 +382,17 @@ def run_geobench_inference(
             coarse, target_mask, _ = re_edit_2d(
                 ori_img, ori_mask, case["edit_param"], inp_bg
             )
+            # exact 2D protocol (freefine_batch_infer_2d.py:195-230):
+            # guidance_text = obj_label = "", end_step 50/end_scale 0.0,
+            # cons_area = target_mask, reduce_inp_artifacts on.
             out = pipe.generation(
                 ori_img, ori_mask, coarse, target_mask,
-                case.get("edit_prompt", ""),
+                "",
                 guidance_scale=guidance_scale, eta=eta,
                 num_step=num_step, start_step=start_step,
-                end_step=10, method_type="tca",
+                end_step=num_step, end_scale=0.0, method_type="tca",
                 use_auto_draw=True,
-                cons_area=np.zeros_like(ori_mask),
+                cons_area=target_mask,
                 reduce_inp_artifacts=True,
                 seed=seed,
             )

@@ -167,23 +167,49 @@ _TEXT_REWRITES = (
 )
 
 
+def expected_checkpoint_manifest(flax_params, key_rewrites=()) -> Dict[str, tuple]:
+    """diffusers key -> expected TORCH shape for every leaf the converter
+    will fetch (the inverse of `_fetch`'s transposition: conv HWIO->OIHW,
+    linear IO->OI).  Powers the full-topology manifest tests
+    (tests/test_weight_manifest.py) that pin the model structure against
+    the committed diffusers key+shape fixtures."""
+    flat = jax.tree_util.tree_flatten_with_path(flax_params)[0]
+    out: Dict[str, tuple] = {}
+    for path, leaf in flat:
+        *mods, leaf_name = path
+        key = _flax_path_to_key(mods)
+        for pat, rep in key_rewrites:
+            key = re.sub(pat, rep, key)
+        leaf_str = leaf_name.key if hasattr(leaf_name, "key") else str(leaf_name)
+        shape = tuple(leaf.shape)
+        if leaf_str == "kernel":
+            if len(shape) == 4:      # HWIO -> OIHW
+                shape = (shape[3], shape[2], shape[0], shape[1])
+            elif len(shape) == 2:    # IO -> OI
+                shape = (shape[1], shape[0])
+        tkey = f"{key}.{_LEAF_MAP[leaf_str]}" if key else _LEAF_MAP[leaf_str]
+        out[tkey] = shape
+    return out
+
+
 def convert_unet(flax_params, tensors, dtype=None):
     return {"params": _convert_tree(flax_params["params"], tensors,
                                     key_rewrites=_UNET_REWRITES, dtype=dtype)}
 
 
+_VAE_KEY_REWRITES = (
+    (r"\.mid\.resnets", ".mid_block.resnets"),
+    (r"\.mid\.attentions", ".mid_block.attentions"),
+    (r"^encoder\.quant_conv$", "quant_conv"),
+    (r"^decoder\.post_quant_conv$", "post_quant_conv"),
+    (r"attentions\.0\.norm$", "attentions.0.group_norm"),
+)
+
+
 def convert_vae(flax_params, tensors, dtype=None):
     # my VAE modules are named mid_resnets_0 etc -> encoder.mid.resnets.0
-    rewrites = ((r"\.mid\.", ".mid_block."),) + _VAE_REWRITES
     p = _convert_tree(flax_params["params"], tensors,
-                      key_rewrites=(
-                          (r"\.mid\.resnets", ".mid_block.resnets"),
-                          (r"\.mid\.attentions", ".mid_block.attentions"),
-                          (r"^encoder\.quant_conv$", "quant_conv"),
-                          (r"^decoder\.post_quant_conv$", "post_quant_conv"),
-                          (r"attentions\.0\.norm$", "attentions.0.group_norm"),
-                      ),
-                      dtype=dtype)
+                      key_rewrites=_VAE_KEY_REWRITES, dtype=dtype)
     return {"params": p}
 
 

@@ -37,7 +37,8 @@ def _mini_annotations(tmp_path, n_edit=2):
             "tgt_mask_path": tgt_p,
             "obj_label": "cup",
         }
-    data["da0"] = {"instances": {"0": edits}}
+    data["da0"] = {"4v_caption": "a cup on a table",
+                   "instances": {"0": edits}}
     ann = tmp_path / "annotations_2d.json"
     ann.write_text(json.dumps(data))
     return str(ann)
@@ -81,3 +82,103 @@ def test_baseline_eval_driver_geo_diffuser(tmp_path):
         pipe, ann, dst, baseline="geo_diffuser", steps=3,
     )
     assert len(merged["da0"]["instances"]["0"]) == 1
+
+
+def _assert_one_case_done(merged):
+    import os.path as osp
+
+    cases = merged["da0"]["instances"]["0"]
+    assert len(cases) == 1
+    c = next(iter(cases.values()))
+    assert osp.exists(c["gen_img_path"]) and c["edit_seconds"] > 0
+    return c
+
+
+@pytest.mark.slow
+def test_baseline_eval_driver_drag_diffusion(tmp_path):
+    from freefine_tpu.baselines.eval import run_geobench_baseline
+
+    pipe = FreeFine(config=tiny_pipeline_config(), init_random=True)
+    ann = _mini_annotations(tmp_path, n_edit=1)
+    merged = run_geobench_baseline(
+        pipe, ann, str(tmp_path / "out_dd"), baseline="drag_diffusion",
+        n_pix_step=2, train_lora_steps=1, lora_rank=2,
+    )
+    _assert_one_case_done(merged)
+
+
+@pytest.mark.slow
+def test_baseline_eval_driver_self_guidance(tmp_path):
+    from freefine_tpu.baselines.eval import run_geobench_baseline
+
+    pipe = FreeFine(config=tiny_pipeline_config(), init_random=True)
+    ann = _mini_annotations(tmp_path, n_edit=1)
+    merged = run_geobench_baseline(
+        pipe, ann, str(tmp_path / "out_sg"), baseline="self_guidance",
+        steps=3,
+    )
+    _assert_one_case_done(merged)
+
+
+@pytest.mark.slow
+def test_baseline_eval_driver_design_edit(tmp_path):
+    from freefine_tpu.baselines.eval import run_geobench_baseline
+
+    pipe = FreeFine(config=tiny_pipeline_config(), init_random=True)
+    ann = _mini_annotations(tmp_path, n_edit=1)
+    merged = run_geobench_baseline(
+        pipe, ann, str(tmp_path / "out_de"), baseline="design_edit",
+        steps=3,
+    )
+    _assert_one_case_done(merged)
+
+
+@pytest.mark.slow
+def test_baseline_eval_driver_motion_guidance(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from freefine_tpu.baselines.eval import run_geobench_baseline
+    from freefine_tpu.models.raft import RAFT, RAFTConfig
+
+    pipe = FreeFine(config=tiny_pipeline_config(), init_random=True)
+    h = pipe.config.height
+    raft = RAFT(config=RAFTConfig(iters=2))
+    x = jnp.zeros((1, h, h, 3))
+    raft_params = raft.init(jax.random.key(3), x, x)
+    ann = _mini_annotations(tmp_path, n_edit=1)
+    merged = run_geobench_baseline(
+        pipe, ann, str(tmp_path / "out_mg"), baseline="motion_guidance",
+        runner_kwargs=dict(raft=raft, raft_params=raft_params),
+        steps=3, num_recursive=2, guidance_weight=10.0,
+    )
+    _assert_one_case_done(merged)
+
+
+@pytest.mark.slow
+def test_baseline_eval_driver_diffusion_handles(tmp_path):
+    from freefine_tpu.baselines.eval import run_geobench_baseline
+
+    pipe = FreeFine(config=tiny_pipeline_config(), init_random=True)
+    ann = _mini_annotations(tmp_path, n_edit=1)
+    merged = run_geobench_baseline(
+        pipe, ann, str(tmp_path / "out_dh"), baseline="diffusion_handles",
+        runner_kwargs=dict(
+            depth_fn=lambda img: np.full(img.shape[:2], 0.5, np.float32)
+        ),
+        steps=3, nti_iters=1, num_optsteps=1,
+    )
+    _assert_one_case_done(merged)
+
+
+@pytest.mark.slow
+def test_baseline_eval_driver_dragon_diffusion(tmp_path):
+    from freefine_tpu.baselines.eval import run_geobench_baseline
+
+    pipe = FreeFine(config=tiny_pipeline_config(), init_random=True)
+    ann = _mini_annotations(tmp_path, n_edit=1)
+    merged = run_geobench_baseline(
+        pipe, ann, str(tmp_path / "out_dr"), baseline="dragon_diffusion",
+        num_step=4, start_step=2, end_step=2,
+    )
+    _assert_one_case_done(merged)

@@ -104,3 +104,38 @@ def test_geo_diffuser_end_to_end_tiny():
     out = gd.edit(img, mask, [12, 0, 0, 0, 0, 0, 1, 1, 1], steps=4)
     assert out.shape == (h, w, 3) and out.dtype == np.uint8
     assert np.isfinite(out.astype(np.float64)).all()
+
+
+def test_sum_losses_returns_raw_removal_and_applies_mult():
+    from freefine_tpu.baselines.geo_diffuser import _sum_geodiff_losses
+
+    inters = {"intermediates": {"down0": {"attn1": {
+        "geodiff_removal": (jnp.float32(2.0),),
+        "geodiff_sim": (jnp.float32(1.0),),
+    }, "attn2": {"geodiff_removal": (jnp.float32(3.0),)}}}}
+    t1, raw1 = _sum_geodiff_losses(inters, removal_self_mult=1.0)
+    t2, raw2 = _sum_geodiff_losses(inters, removal_self_mult=2.0)
+    # raw removal logs ONLY the self-attn layers (reference
+    # loss_log_dict["self"]["removal"])
+    assert float(raw1) == float(raw2) == 2.0
+    # the multiplier scales only the self-removal weight: delta = w_self * L
+    from freefine_tpu.baselines.geo_diffuser import LOSS_WEIGHTS
+
+    np.testing.assert_allclose(
+        float(t2 - t1), LOSS_WEIGHTS["removal"][0] * 2.0, rtol=1e-6
+    )
+
+
+def test_adaptive_schedule_matches_reference_branches():
+    from freefine_tpu.baselines.geo_diffuser import adaptive_removal_schedule
+
+    phase, expected = adaptive_removal_schedule(50)
+    # optimization.py: p<0.4 -> targeted phase; 0.4<p<0.8 -> hold phase;
+    # p==0.4 and p>=0.8 -> reset
+    assert phase[0] == 0 and phase[19] == 0
+    assert phase[20] == 2           # i/N == 0.4 falls to the reset branch
+    assert phase[21] == 1 and phase[39] == 1
+    assert (phase[40:] == 2).all()
+    # expected removal target: -1.5 / 1.25^remaining, remaining=int((0.4-p)N)
+    np.testing.assert_allclose(expected[0], -1.5 / 1.25 ** 20, rtol=1e-6)
+    np.testing.assert_allclose(expected[19], -1.5 / 1.25, rtol=1e-6)
