@@ -177,6 +177,22 @@ def _examples(*names):
     return [paths] if all(os.path.exists(p) for p in paths) else None
 
 
+def _task_examples(task: str, *files):
+    """All example rows for one task directory of the per-task asset tree
+    (examples/assets/<task>/<name>/<file> — the reference's Examples/
+    layout, make_assets.py)."""
+    import os
+
+    base = os.path.join(ASSETS, *task.split("/"))
+    rows = []
+    if os.path.isdir(base):
+        for name in sorted(os.listdir(base)):
+            paths = [os.path.join(base, name, f) for f in files]
+            if all(os.path.exists(p) for p in paths):
+                rows.append(paths)
+    return rows or None
+
+
 def _click_to_mask(app):
     """Shared click-to-box SAM wiring for a tab; returns the mask image."""
     import gradio as gr
@@ -225,7 +241,8 @@ def create_demo(app: FreeFineApp):
                 ),
                 [img, src, msk, prompt, gscale], out,
             )
-            ex = _examples("cup.png", "cup_mask.png")
+            ex = (_task_examples("Removal", "source.png", "source_mask.png")
+                  or _examples("cup.png", "cup_mask.png"))
             if ex:
                 gr.Examples(examples=ex, inputs=[img, msk])
         with gr.Tab("Geometric Edit"):
@@ -257,7 +274,9 @@ def create_demo(app: FreeFineApp):
                 ),
                 [img2, src2, msk2, prompt2, dx, dy, rot, sc], out2,
             )
-            ex2 = _examples("cup.png", "cup_mask.png")
+            ex2 = (_task_examples("Editing/2D", "source.png",
+                                  "source_mask.png")
+                   or _examples("cup.png", "cup_mask.png"))
             if ex2:
                 gr.Examples(examples=ex2, inputs=[img2, msk2])
         with gr.Tab("Compose / Appearance Transfer"):
@@ -290,8 +309,14 @@ def create_demo(app: FreeFineApp):
                 ),
                 [a_img, a_msk, b_img, b_msk, region, coarse3, prompt3], out3,
             )
-            ex3 = _examples("bird_app.png", "bird_app_mask.png",
-                            "bird_bg.png", "bird_bg_mask.png")
+            ex3 = (_task_examples("Appearance", "app.png", "app_mask.png",
+                                  "ori.png", "ori_mask.png")
+                   or _examples("bird_app.png", "bird_app_mask.png",
+                                "bird_bg.png", "bird_bg_mask.png"))
+            comp = _task_examples("Compose", "source.png", "source_mask.png",
+                                  "target.png", "target_mask.png")
+            if comp:
+                ex3 = (ex3 or []) + comp
             if ex3:
                 gr.Examples(examples=ex3,
                             inputs=[a_img, a_msk, b_img, b_msk])

@@ -175,20 +175,28 @@ class DesignEdit:
         )
         op_list = list(ops_key)
 
-        def run(params, lat, ctx2, remove_mask, attn_keep, fg_mask,
-                targets, gates):
+        def run(params, lat, ctx2, remove_mask, attn_keep, refine_keep,
+                fg_mask, targets, gates):
             """lat [n, lh, lw, 4]; ctx2 conditioning for 2n streams;
-            remove_mask [lh, lw] (1 = hole); attn_keep {seq: [S]} pyramid;
-            fg_mask [lh, lw] (moving); targets [steps, n, lh, lw, 4]
-            (trajectory realignment); gates [steps, 4]
-            (attn, blend, move, prox)."""
+            remove_mask [lh, lw] (1 = hole); attn_keep / refine_keep
+            {seq: [S]} pyramids (refine_keep additionally excludes the SC
+            draw mask, used while the refine gate is on — model.py:
+            389-392); fg_mask [lh, lw] (moving); targets
+            [steps, n, lh, lw, 4] (trajectory realignment); gates
+            [steps, 5] (attn, blend, move, prox, refine)."""
             rm = remove_mask[None, :, :, None]
 
             def body(x, inp):
                 t, tgt, g = inp
-                g_attn, g_blend, g_move, g_prox = g[0], g[1], g[2], g[3]
+                g_attn, g_blend, g_move, g_prox, g_ref = (
+                    g[0], g[1], g[2], g[3], g[4]
+                )
+                keep = {
+                    k: jnp.where(g_ref > 0, refine_keep[k], attn_keep[k])
+                    for k in attn_keep
+                }
                 state = EditState(
-                    local_region=attn_keep, share_gate=g_attn
+                    local_region=keep, share_gate=g_attn
                 )
                 pair = jnp.concatenate([x, x], axis=0)
                 ctx, added = pipe._split_text(ctx2)
@@ -257,7 +265,8 @@ class DesignEdit:
               fg_mask_px=None, op_list=(), out_stream: int = 1,
               steps: int = 50, guidance_scale: float = 7.5,
               blend_end: int = 41, mask_end: int = 40,
-              recon_t: int = 400) -> np.ndarray:
+              recon_t: int = 400, refine_mask_px=None,
+              refine_end: int = 25) -> np.ndarray:
         pipe = self.pipe
         cfg = pipe.config
         lh, lw = cfg.latent_height, cfg.latent_width
@@ -271,6 +280,16 @@ class DesignEdit:
 
         remove = attend_mask(remove_mask_px, lh, lw)
         keep_pyr = self._keep_pyramid(remove, lh, lw)
+        # SC variant (model.py:352-353, 389-392): while the refine window
+        # is open the key mask is the UNION of removal hole and the
+        # structure-completion draw mask
+        if refine_mask_px is not None:
+            refine_union = jnp.clip(
+                remove + attend_mask(refine_mask_px, lh, lw), 0.0, 1.0
+            )
+            refine_pyr = self._keep_pyramid(refine_union, lh, lw)
+        else:
+            refine_pyr = keep_pyr
         fg_mask = (
             attend_mask(fg_mask_px, lh, lw) if fg_mask_px is not None
             else jnp.zeros((lh, lw), jnp.float32)
@@ -285,11 +304,15 @@ class DesignEdit:
 
         ts = np.asarray(DDIMSchedule.create(num_inference_steps=steps).timesteps)
         counters = np.arange(1, steps + 1)       # LayerFusion counter
+        i = np.arange(steps)
         gates = np.stack([
-            ((np.arange(steps) > 0) & (np.arange(steps) < mask_end)),
+            ((i > 0) & (i < mask_end)),
             counters <= blend_end,
             counters == blend_end + 1,
             ts < recon_t,
+            # refine_time (0, 25]: registered window for the SC union mask
+            ((i > 0) & (i <= refine_end)
+             & (refine_mask_px is not None)),
         ], axis=1).astype(np.float32)
 
         ctx_c = pipe._stream_text_embeddings([prompt] * n)
@@ -299,8 +322,8 @@ class DesignEdit:
         _, run = self._denoise(
             steps, n, tuple(op_list), float(guidance_scale)
         )
-        out = run(pipe.params, lat0, ctx2, remove, keep_pyr, fg_mask,
-                  targets, jnp.asarray(gates))
+        out = run(pipe.params, lat0, ctx2, remove, keep_pyr, refine_pyr,
+                  fg_mask, targets, jnp.asarray(gates))
         return pipe.latent_to_image(out[out_stream : out_stream + 1])[0]
 
     def _keep_pyramid(self, remove, lh, lw):
@@ -321,11 +344,23 @@ class DesignEdit:
     # -- public API -----------------------------------------------------------
 
     def remove(self, image: np.ndarray, mask: np.ndarray, prompt: str = "",
-               steps: int = 50) -> np.ndarray:
+               steps: int = 50,
+               refine_mask: Optional[np.ndarray] = None) -> np.ndarray:
         """Object removal (run_remove, model.py:454-497): streams
-        [original, inpaint]; decode the inpaint stream."""
+        [original, inpaint]; decode the inpaint stream.
+
+        `refine_mask` enables the SC (structure-completion) variant
+        (model.py:471,482 + register_attention_control:389-392): during
+        the first 25 steps the self-attn keys are masked with the UNION of
+        the removal hole and this draw mask, so the completed structure is
+        synthesised rather than copied."""
         m = (np.asarray(mask) > 0).astype(np.uint8) * 255
-        return self._edit([image], m, [0, 0], prompt, steps=steps)
+        rm = (
+            None if refine_mask is None
+            else (np.asarray(refine_mask) > 0).astype(np.uint8) * 255
+        )
+        return self._edit([image], m, [0, 0], prompt, steps=steps,
+                          refine_mask_px=rm)
 
     def pan(self, image: np.ndarray, op_list, prompt: str = "",
             steps: int = 50) -> np.ndarray:

@@ -125,8 +125,11 @@ def convert_sv3d_unet(flax_params, sd: Dict[str, np.ndarray], dtype=None,
         }
 
     def norm_pair(base, wrapper):
-        # GroupNorm32/LayerNorm32 wrap the actual norm one level deeper
+        # LayerNorm32 wraps the actual norm one level deeper; GroupNorm32
+        # owns scale/bias directly (flat) since the fused-GN rework
         inner_name, inner = next(iter(wrapper.items()))
+        if not isinstance(inner, dict):  # flat: wrapper IS the leaf dict
+            return conv_pair(base, wrapper)
         return {inner_name: conv_pair(base, inner)}
 
     def res_block(base, sub):

@@ -46,33 +46,35 @@ def _res(prefix, cin, cout, temb=1280):
     return ks
 
 
-def _transformer(prefix, ch, ctx=768):
-    """Transformer2DModel with one BasicTransformerBlock, conv projections
-    (SD-1.5 use_linear_projection=False)."""
+def _transformer(prefix, ch, ctx=768, depth=1, linear_proj=False):
+    """Transformer2DModel: `depth` BasicTransformerBlocks; conv projections
+    for SD-1.5 (use_linear_projection=False), linear for SDXL."""
     inner = 4 * ch
-    b = f"{prefix}.transformer_blocks.0"
     ks = {
         f"{prefix}.norm.weight": (ch,),
         f"{prefix}.norm.bias": (ch,),
-        f"{prefix}.proj_in.weight": (ch, ch, 1, 1),
-        f"{prefix}.proj_in.bias": (ch,),
-        f"{prefix}.proj_out.weight": (ch, ch, 1, 1),
-        f"{prefix}.proj_out.bias": (ch,),
     }
-    for n in ("norm1", "norm2", "norm3"):
-        ks[f"{b}.{n}.weight"] = (ch,)
-        ks[f"{b}.{n}.bias"] = (ch,)
-    for attn, kvdim in (("attn1", ch), ("attn2", ctx)):
-        ks[f"{b}.{attn}.to_q.weight"] = (ch, ch)
-        ks[f"{b}.{attn}.to_k.weight"] = (ch, kvdim)
-        ks[f"{b}.{attn}.to_v.weight"] = (ch, kvdim)
-        ks[f"{b}.{attn}.to_out.0.weight"] = (ch, ch)
-        ks[f"{b}.{attn}.to_out.0.bias"] = (ch,)
-    # GEGLU feed-forward: proj doubles the inner width
-    ks[f"{b}.ff.net.0.proj.weight"] = (2 * inner, ch)
-    ks[f"{b}.ff.net.0.proj.bias"] = (2 * inner,)
-    ks[f"{b}.ff.net.2.weight"] = (ch, inner)
-    ks[f"{b}.ff.net.2.bias"] = (ch,)
+    proj_shape = (ch, ch) if linear_proj else (ch, ch, 1, 1)
+    ks[f"{prefix}.proj_in.weight"] = proj_shape
+    ks[f"{prefix}.proj_in.bias"] = (ch,)
+    ks[f"{prefix}.proj_out.weight"] = proj_shape
+    ks[f"{prefix}.proj_out.bias"] = (ch,)
+    for d in range(depth):
+        b = f"{prefix}.transformer_blocks.{d}"
+        for n in ("norm1", "norm2", "norm3"):
+            ks[f"{b}.{n}.weight"] = (ch,)
+            ks[f"{b}.{n}.bias"] = (ch,)
+        for attn, kvdim in (("attn1", ch), ("attn2", ctx)):
+            ks[f"{b}.{attn}.to_q.weight"] = (ch, ch)
+            ks[f"{b}.{attn}.to_k.weight"] = (ch, kvdim)
+            ks[f"{b}.{attn}.to_v.weight"] = (ch, kvdim)
+            ks[f"{b}.{attn}.to_out.0.weight"] = (ch, ch)
+            ks[f"{b}.{attn}.to_out.0.bias"] = (ch,)
+        # GEGLU feed-forward: proj doubles the inner width
+        ks[f"{b}.ff.net.0.proj.weight"] = (2 * inner, ch)
+        ks[f"{b}.ff.net.0.proj.bias"] = (2 * inner,)
+        ks[f"{b}.ff.net.2.weight"] = (ch, inner)
+        ks[f"{b}.ff.net.2.bias"] = (ch,)
     return ks
 
 
@@ -123,6 +125,71 @@ def unet_manifest(block_out=(320, 640, 1280, 1280), ctx=768):
                 ks.update(
                     _transformer(f"up_blocks.{i}.attentions.{j}", out, ctx)
                 )
+        if i < n - 1:
+            ks[f"up_blocks.{i}.upsamplers.0.conv.weight"] = (out, out, 3, 3)
+            ks[f"up_blocks.{i}.upsamplers.0.conv.bias"] = (out,)
+        prev = out
+    return ks
+
+
+def sdxl_unet_manifest(block_out=(320, 640, 1280), ctx=2048,
+                       depths=(1, 2, 10), add_dim=2816):
+    """SDXL-base UNet (stabilityai/stable-diffusion-xl-base-1.0):
+    DownBlock2D + 2 CrossAttn levels with transformer depths (2, 10),
+    linear projections, added text_time conditioning."""
+    temb = block_out[0] * 4
+    ks = {
+        "conv_in.weight": (block_out[0], 4, 3, 3),
+        "conv_in.bias": (block_out[0],),
+        "time_embedding.linear_1.weight": (temb, block_out[0]),
+        "time_embedding.linear_1.bias": (temb,),
+        "time_embedding.linear_2.weight": (temb, temb),
+        "time_embedding.linear_2.bias": (temb,),
+        "add_embedding.linear_1.weight": (temb, add_dim),
+        "add_embedding.linear_1.bias": (temb,),
+        "add_embedding.linear_2.weight": (temb, temb),
+        "add_embedding.linear_2.bias": (temb,),
+        "conv_norm_out.weight": (block_out[0],),
+        "conv_norm_out.bias": (block_out[0],),
+        "conv_out.weight": (4, block_out[0], 3, 3),
+        "conv_out.bias": (4,),
+    }
+    n = len(block_out)
+    has_attn_down = (False, True, True)
+    ch = block_out[0]
+    for i, out in enumerate(block_out):
+        for j in range(2):
+            cin = ch if j == 0 else out
+            ks.update(_res(f"down_blocks.{i}.resnets.{j}", cin, out, temb))
+            if has_attn_down[i]:
+                ks.update(_transformer(
+                    f"down_blocks.{i}.attentions.{j}", out, ctx,
+                    depth=depths[i], linear_proj=True,
+                ))
+        if i < n - 1:
+            ks[f"down_blocks.{i}.downsamplers.0.conv.weight"] = (out, out, 3, 3)
+            ks[f"down_blocks.{i}.downsamplers.0.conv.bias"] = (out,)
+        ch = out
+    m = block_out[-1]
+    ks.update(_res("mid_block.resnets.0", m, m, temb))
+    ks.update(_res("mid_block.resnets.1", m, m, temb))
+    ks.update(_transformer("mid_block.attentions.0", m, ctx,
+                           depth=depths[-1], linear_proj=True))
+    rev = list(reversed(block_out))            # (1280, 640, 320)
+    rev_depths = list(reversed(depths))
+    has_attn_up = (True, True, False)
+    prev = rev[0]
+    for i, out in enumerate(rev):
+        skip_in = rev[min(i + 1, n - 1)]
+        for j in range(3):
+            res_skip = skip_in if j == 2 else out
+            cin = (prev if j == 0 else out) + res_skip
+            ks.update(_res(f"up_blocks.{i}.resnets.{j}", cin, out, temb))
+            if has_attn_up[i]:
+                ks.update(_transformer(
+                    f"up_blocks.{i}.attentions.{j}", out, ctx,
+                    depth=rev_depths[i], linear_proj=True,
+                ))
         if i < n - 1:
             ks[f"up_blocks.{i}.upsamplers.0.conv.weight"] = (out, out, 3, 3)
             ks[f"up_blocks.{i}.upsamplers.0.conv.bias"] = (out,)
@@ -234,3 +301,4 @@ if __name__ == "__main__":
     write(unet_manifest(), os.path.join(outdir, "sd15_unet_keys.txt"))
     write(vae_manifest(), os.path.join(outdir, "sd15_vae_keys.txt"))
     write(text_manifest(), os.path.join(outdir, "sd15_text_keys.txt"))
+    write(sdxl_unet_manifest(), os.path.join(outdir, "sdxl_unet_keys.txt"))

@@ -77,7 +77,7 @@ def dump(model_dir: str, out_path: str, height: int = 512):
     print(f"wrote {out_path}")
 
 
-def check(golden_path: str, weights_dir: str):
+def check(golden_path: str, weights_dir: str, report_path: str = None):
     import jax
 
     jax.config.update("jax_platforms", "cpu")  # fp32 parity, not speed
@@ -99,6 +99,22 @@ def check(golden_path: str, weights_dir: str):
     for k, r in report.items():
         print(f"{k}: max_abs={r['max_abs']:.3e} mean_abs={r['mean_abs']:.3e} "
               f"{'OK' if r['ok'] else 'FAIL'}")
+    if report_path:
+        import json
+
+        payload = {
+            "golden": osp.abspath(golden_path),
+            "weights": osp.abspath(weights_dir),
+            "passed": not failed,
+            "results": {
+                k: {kk: (bool(vv) if kk == "ok" else float(vv))
+                    for kk, vv in r.items()}
+                for k, r in report.items()
+            },
+        }
+        with open(report_path, "w") as f:
+            json.dump(payload, f, indent=2)
+        print(f"wrote {report_path}")
     if failed:
         raise SystemExit(f"golden mismatch: {failed}")
     print("all golden checks passed")
@@ -114,11 +130,13 @@ def main(argv=None):
     c = sub.add_parser("check")
     c.add_argument("--golden", required=True)
     c.add_argument("--weights", required=True)
+    c.add_argument("--report", default=None,
+                   help="write a machine-readable JSON report here")
     a = p.parse_args(argv)
     if a.cmd == "dump":
         dump(a.model, a.out, a.height)
     else:
-        check(a.golden, a.weights)
+        check(a.golden, a.weights, a.report)
 
 
 if __name__ == "__main__":

@@ -127,3 +127,26 @@ def test_run_compose_uses_default_coarse(monkeypatch):
     out = a.run_compose(app_img, am, bg, bm, bm, None, "a bird")
     assert calls["prompts"] == ["a bird"]
     assert (out[23, 23] == 99).all()
+
+
+def test_task_examples_tree():
+    """The per-task asset tree populates every tab's example gallery."""
+    from app import _task_examples
+
+    rem = _task_examples("Removal", "source.png", "source_mask.png")
+    e2d = _task_examples("Editing/2D", "source.png", "source_mask.png")
+    e3d = _task_examples("Editing/3D", "source.png", "source_mask.png")
+    ap = _task_examples("Appearance", "app.png", "app_mask.png",
+                        "ori.png", "ori_mask.png")
+    comp = _task_examples("Compose", "source.png", "source_mask.png",
+                          "target.png", "target_mask.png")
+    pe = _task_examples("Partial-Editing", "ori.png", "full_mask.png",
+                        "partial_mask_0.png")
+    assert rem and len(rem) >= 2
+    assert e2d and len(e2d) >= 2
+    assert e3d and ap and comp and pe
+    import os.path as osp
+
+    for rows in (rem, e2d, e3d, ap, comp, pe):
+        for row in rows:
+            assert all(osp.exists(p) for p in row)

@@ -125,3 +125,21 @@ def test_design_edit_move_tiny(pipe):
     out = de.move(img, mask, dx=0.25, prompt="a photo", steps=6)
     assert out.shape == (h, w, 3) and out.dtype == np.uint8
     assert np.isfinite(out.astype(np.float64)).all()
+
+
+@pytest.mark.slow
+def test_design_edit_sc_refine_mask_tiny(pipe):
+    """SC variant: a refine draw mask changes the result (the key mask is
+    the removal+refine union in the refine window) and stays finite."""
+    de = DesignEdit(pipe)
+    h = w = pipe.config.height
+    img = np.random.default_rng(5).integers(0, 255, (h, w, 3), dtype=np.uint8)
+    mask = np.zeros((h, w), np.uint8); mask[16:32, 16:32] = 255
+    refine = np.zeros((h, w), np.uint8); refine[32:48, 16:32] = 255
+
+    out_sc = de.remove(img, mask, prompt="a photo", steps=6,
+                       refine_mask=refine)
+    out_plain = de.remove(img, mask, prompt="a photo", steps=6)
+    assert out_sc.shape == (h, w, 3) and out_sc.dtype == np.uint8
+    assert np.isfinite(out_sc.astype(np.float64)).all()
+    assert np.abs(out_sc.astype(int) - out_plain.astype(int)).max() > 0

@@ -33,7 +33,10 @@ def _inverse_sgm_dict(params, channel_mult, num_res):
 
     def put_norm(base, wrapper):
         inner = next(iter(wrapper.values()))
-        put_leaves(base, inner)
+        if not isinstance(inner, dict):  # flat GroupNorm32 scale/bias
+            put_leaves(base, wrapper)
+        else:
+            put_leaves(base, inner)
 
     def put_res(base, sub):
         for name, inner in sub.items():
