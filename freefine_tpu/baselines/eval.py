@@ -74,6 +74,7 @@ def run_geobench_baseline(
     baseline: str = "region_drag",
     max_cases: Optional[int] = None,
     seed: int = 42,
+    batch_size: int = 1,
     progress: Callable[[str], None] = print,
     runner_kwargs: Optional[Dict] = None,
     **baseline_kwargs,
@@ -166,6 +167,58 @@ def run_geobench_baseline(
         runner = DragDiffusion(pipe)
 
     size = pipe.config.height
+
+    if baseline == "region_drag" and batch_size > 1:
+        # case-batched lane (RegionDrag.drag_batch) — beyond the
+        # reference's batch-1 eval; pads the tail group and fixes the
+        # point count so every group hits one compiled program
+        from freefine_tpu.baselines.region_drag import region_pair_to_pts
+
+        lh, lw = pipe.config.latent_height, pipe.config.latent_width
+        n_pts = int(2 ** np.ceil(np.log2(max(lh * lw, 2))))
+        results = []
+        t0 = time.time()
+        for b0 in range(0, len(my_cases), batch_size):
+            group = my_cases[b0: b0 + batch_size]
+            padded = group + [group[-1]] * (batch_size - len(group))
+            items, prompts = [], []
+            for case in padded:
+                gi = read_image(ds.resolve(case["ori_img_path"]), size=size)
+                gm = read_mask(ds.resolve(case["ori_mask_path"]), size=size)
+                gt = read_mask(ds.resolve(case["tgt_mask_path"]), size=size)
+                s, t = region_pair_to_pts(gm, gt, scale=1 / 8)
+                items.append(dict(
+                    ori_image=gi, source_pts=s * 8, target_pts=t * 8,
+                    mask=((gm > 0) | (gt > 0)).astype(np.float32),
+                ))
+                prompts.append(f"image of {case.get('obj_label', 'object')}")
+            case_t0 = time.time()
+            outs = runner.drag_batch(
+                items, prompts, seed=seed, max_pts=n_pts, **baseline_kwargs
+            )
+            per_case = (time.time() - case_t0) / len(group)
+            for case, out in zip(group, outs):
+                path = ds.output_path(
+                    case["da_n"], case["ins_id"], case["edit_ins"]
+                )
+                save_image(out, path)
+                results.append({
+                    **case, "gen_img_path": path,
+                    "edit_seconds": round(per_case, 3),
+                })
+            done_n = min(b0 + batch_size, len(my_cases))
+            rate = done_n / (time.time() - t0) * 60
+            progress(f"[proc {pidx}] {done_n}/{len(my_cases)} "
+                     f"({rate:.1f} edits/min, batch {batch_size})")
+        gathered = _allgather_results(results)
+        if pidx != 0:
+            return None
+        merged = ds.merge_results(gathered)
+        out_path = osp.join(dst_base, f"generated_results_{baseline}.json")
+        save_json(merged, out_path)
+        progress(f"[proc 0] wrote {out_path}")
+        return merged
+
     results: List[Dict] = []
     t0 = time.time()
     for i, case in enumerate(my_cases):

@@ -49,21 +49,44 @@ def timestep_embedding(
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm computed in float32, output cast back to the input dtype."""
+    """GroupNorm computed in float32, output cast back to the input dtype.
+
+    `silu=True` fuses the activation into the norm; on TPU (when the
+    [H, W, C] slab fits VMEM) the whole GN+SiLU runs as ONE Pallas pass —
+    a single HBM read+write instead of XLA's stats-reduce + normalize
+    pair (see ops/group_norm.py).  Param layout: scale/bias live directly
+    on this module (same diffusers key either way — the converter's
+    _flax_path_to_key treats the norm as one unit)."""
 
     num_groups: int = 32
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
-        dtype = x.dtype
-        out = nn.GroupNorm(
-            num_groups=self.num_groups,
-            epsilon=self.epsilon,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
-        return out.astype(dtype)
+    def __call__(self, x, silu: bool = False):
+        from freefine_tpu.ops.group_norm import (
+            group_norm_reference,
+            group_norm_silu,
+            use_fused,
+        )
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if x.ndim == 4 and use_fused(x.shape, self.num_groups,
+                                     x.dtype.itemsize):
+            return group_norm_silu(
+                x, scale, bias, num_groups=self.num_groups,
+                eps=self.epsilon, apply_silu=silu,
+            )
+        if x.ndim != 4:  # [B, S, C] attention norms: add a unit H axis
+            return group_norm_reference(
+                x[:, None], scale, bias, num_groups=self.num_groups,
+                eps=self.epsilon, apply_silu=silu,
+            )[:, 0]
+        return group_norm_reference(
+            x, scale, bias, num_groups=self.num_groups,
+            eps=self.epsilon, apply_silu=silu,
+        )
 
 
 class TimestepEmbed(nn.Module):
@@ -95,16 +118,14 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb=None):
-        h = GroupNorm32(self.norm_num_groups, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm32(self.norm_num_groups, name="norm1")(x, silu=True)
         h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv1")(h)
         if temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 nn.silu(temb)
             )
             h = h + t[:, None, None, :]
-        h = GroupNorm32(self.norm_num_groups, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(self.norm_num_groups, name="norm2")(h, silu=True)
         h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(

@@ -203,8 +203,7 @@ class UNet2DCondition(nn.Module):
             features.append(h)
 
         # ----- out -----
-        h = GroupNorm32(cfg.norm_num_groups, name="conv_norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(cfg.norm_num_groups, name="conv_norm_out")(h, silu=True)
         h = nn.Conv(cfg.out_channels, (3, 3), dtype=dtype, name="conv_out")(h)
 
         if return_features:

@@ -125,3 +125,65 @@ def test_drag_end_to_end_tiny():
                            steps=8, start_t=0.5, end_t=0.25,
                            method="cp_then_encode")
     assert out2.shape == (h, w, 3)
+
+
+@pytest.mark.slow
+def test_drag_batch_matches_vmapped_lanes():
+    """The batched forward/backward equal per-lane single-jit runs given
+    the same per-case RNG keys (vmap correctness), and drag_batch runs
+    end to end deterministically."""
+    pipe = FreeFine(config=tiny_pipeline_config(), init_random=True)
+    rd = RegionDrag(pipe)
+    lh, lw = pipe.config.latent_height, pipe.config.latent_width
+    steps, k, n_pts = 4, 2, 8
+    _, _, fwd, _, fwd_b, _ = rd._loops(steps, k, True, n_pts, 0.0)
+
+    rng = np.random.default_rng(0)
+    lat = jnp.asarray(rng.normal(size=(2, 1, lh, lw, 4)), jnp.float32)
+    ctx = pipe.encode_text(["a", "b"])[:, None]
+    keys = jax.random.split(jax.random.key(7), 2)
+
+    hooks_b, noises_b = fwd_b(pipe.params, lat, ctx, keys)
+    for i in range(2):
+        h_i, n_i = fwd(pipe.params, lat[i], ctx[i], keys[i], None)
+        np.testing.assert_allclose(np.asarray(hooks_b[i]), np.asarray(h_i),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(noises_b[i]), np.asarray(n_i),
+                                   atol=2e-4)
+
+    h = w = pipe.config.height
+    img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    items = [
+        dict(ori_image=img, source_pts=np.array([[16, 16]]),
+             target_pts=np.array([[24, 16]])),
+        dict(ori_image=img[::-1].copy(), source_pts=np.array([[20, 20]]),
+             target_pts=np.array([[28, 20]])),
+    ]
+    outs = rd.drag_batch(items, ["p1", "p2"], steps=4, start_t=0.5,
+                         end_t=0.25)
+    outs2 = rd.drag_batch(items, ["p1", "p2"], steps=4, start_t=0.5,
+                          end_t=0.25)
+    assert len(outs) == 2
+    for o, o2 in zip(outs, outs2):
+        assert o.shape == (h, w, 3) and o.dtype == np.uint8
+        np.testing.assert_array_equal(o, o2)
+
+
+@pytest.mark.slow
+def test_baseline_eval_region_drag_batched(tmp_path):
+    """Driver batch_size>1 routes through drag_batch with tail padding."""
+    from tests.test_baseline_eval import _mini_annotations
+
+    from freefine_tpu.baselines.eval import run_geobench_baseline
+
+    pipe = FreeFine(config=tiny_pipeline_config(), init_random=True)
+    ann = _mini_annotations(tmp_path, n_edit=3)
+    merged = run_geobench_baseline(
+        pipe, ann, str(tmp_path / "out_batched"), baseline="region_drag",
+        batch_size=2, steps=4, start_t=0.5, end_t=0.25,
+    )
+    cases = merged["da0"]["instances"]["0"]
+    assert len(cases) == 3
+    import os.path as osp
+
+    assert all(osp.exists(c["gen_img_path"]) for c in cases.values())
