@@ -24,7 +24,10 @@ def main():
                     help="diffusers SD-1.5 dir (random weights if omitted)")
     ap.add_argument("--single-file", default=None,
                     help="single-file LDM checkpoint (v1-5-pruned.safetensors)")
-    ap.add_argument("--task", default="2d", choices=["2d", "3d"])
+    ap.add_argument("--task", default="2d",
+                    choices=["2d", "3d", "bggen", "author3d"])
+    ap.add_argument("--bench", default="2d", choices=["2d", "3d"],
+                    help="which benchmark the bggen backgrounds are for")
     ap.add_argument("--num-step", type=int, default=50)
     ap.add_argument("--start-step", type=int, default=None)
     ap.add_argument("--guidance-scale", type=float, default=7.5)
@@ -55,12 +58,24 @@ def main():
 
         pipe.params = load_sd15(pipe, args.checkpoint)
 
-    ann = os.path.join(args.dst_base, f"annotations_{args.task}.json")
+    if args.task == "bggen":
+        ann = os.path.join(args.dst_base, f"annotations_{args.bench}.json")
+    elif args.task in ("3d", "author3d"):
+        # prefer the authored annotations (author3d fills the coarse/
+        # mask/correspondence paths in)
+        authored = os.path.join(args.dst_base, "annotations_3d_authored.json")
+        plain = os.path.join(args.dst_base, "annotations_3d.json")
+        ann = authored if (
+            args.task == "3d" and os.path.exists(authored)
+        ) else plain
+    else:
+        ann = os.path.join(args.dst_base, f"annotations_{args.task}.json")
     run_geobench_inference(
         pipe, ann, args.dst_base,
         task=args.task, num_step=args.num_step, start_step=args.start_step,
         guidance_scale=args.guidance_scale, eta=args.eta, seed=args.seed,
         inp_img_dir=args.inp_img_dir, max_cases=args.max_cases,
+        bench=args.bench,
     )
 
 

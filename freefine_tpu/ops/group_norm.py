@@ -20,10 +20,15 @@ Group statistics use one-hot matmuls instead of in-kernel reshapes
 and `(1, Gb) @ onehot^T` broadcasts the stats back; both one-hots are
 built in-kernel from iota — no extra HBM operand.
 
-Gating: used when one whole-group channel block fits the budget (UNet
-latent resolutions; the 512^2 VAE norms stay on XLA).  FREEFINE_FUSED_GN
-env: "auto" (default — on-TPU and the tile fits), "1" (force, interpret
-off-TPU — used by the parity tests), "0" (off).
+MEASURED RESULT (v5 lite, paired end-to-end bench @512^2 50-step,
+BATCH_SCALING.md): fused 33.0 vs unfused 34.6 edits/min — ~4.5% SLOWER.
+XLA's lowering already fuses normalize+SiLU into the consumer conv's
+input fusion (its real extra traffic is only the stats read), and the
+kernel's sequential in-VMEM sweeps pipeline worse than XLA's overlapped
+reduce.  The kernel is therefore OFF by default and kept as a verified
+negative result; FREEFINE_FUSED_GN env: "0" (default), "auto" (on-TPU
+when the tile fits), "1" (force, interpret off-TPU — used by the parity
+tests).
 
 Reference counterpart: torch.nn.GroupNorm inside ResnetBlock2D
 (diffusers resnet.py; reference UNet via src/models) — there cuDNN
@@ -60,7 +65,7 @@ def _tile_bytes(h: int, w: int, c: int, itemsize: int = 2) -> int:
 
 
 def _mode() -> str:
-    return os.environ.get("FREEFINE_FUSED_GN", "auto")
+    return os.environ.get("FREEFINE_FUSED_GN", "0")
 
 
 def use_fused(shape, num_groups: int = 32, itemsize: int = 2) -> bool:

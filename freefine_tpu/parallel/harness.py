@@ -276,6 +276,7 @@ def run_geobench_inference(
     inp_img_dir: Optional[str] = None,
     results_name: Optional[str] = None,
     max_cases: Optional[int] = None,
+    bench: str = "2d",
     progress: Callable[[str], None] = print,
 ) -> Optional[Dict]:
     """Run FreeFine over GeoBench with case-level data parallelism.
@@ -300,7 +301,7 @@ def run_geobench_inference(
         )
     if task == "bggen":
         return run_geobench_bggen(
-            pipe, annotations_json, dst_base,
+            pipe, annotations_json, dst_base, bench=bench,
             num_step=num_step, start_step=start_step or 1,
             guidance_scale=guidance_scale, eta=eta, seed=seed,
             max_cases=max_cases, progress=progress,

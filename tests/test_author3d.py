@@ -230,3 +230,25 @@ def test_author3d_to_inference_to_md_chain(tmp_path):
     md = compute_md(merged, "gen_img_path", _patch_featurizer,
                     verbose=False)
     assert np.isfinite(md)
+
+
+def test_harness_dispatch_author3d(tmp_path, monkeypatch):
+    """run_geobench_inference(task='author3d') routes to the authoring
+    driver (pipe-free)."""
+    from freefine_tpu.parallel import harness
+
+    called = {}
+
+    def fake(ann, dst, max_cases=None, progress=print, **kw):
+        called["args"] = (ann, dst, max_cases)
+        return {"ok": True}
+
+    import freefine_tpu.data.author3d as a3d
+
+    monkeypatch.setattr(a3d, "run_geobench_author3d", fake)
+    out = harness.run_geobench_inference(
+        None, "ann.json", str(tmp_path), task="author3d", max_cases=5,
+        progress=lambda s: None,
+    )
+    assert out == {"ok": True}
+    assert called["args"] == ("ann.json", str(tmp_path), 5)
