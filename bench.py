@@ -35,18 +35,9 @@ if os.environ.get("JAX_PLATFORMS"):
 
 # Persistent XLA compilation cache: spares repeat runs the multi-minute
 # SD-1.5 compile (safe no-op where unsupported).
-def _enable_compile_cache():
-    import jax
+from freefine_tpu.utils.cache import enable_persistent_cache
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/freefine_jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
-
-
-_enable_compile_cache()
+enable_persistent_cache()
 
 
 def main():

@@ -42,6 +42,9 @@ def main():
     from freefine_tpu.config import sd15_pipeline_config, tiny_pipeline_config
     from freefine_tpu.parallel.harness import run_geobench_inference
     from freefine_tpu.pipeline import FreeFine
+    from freefine_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     cfg = tiny_pipeline_config() if args.tiny else sd15_pipeline_config()
     pipe = FreeFine(

@@ -336,6 +336,9 @@ def main(argv=None):
 
     from freefine_tpu.config import sd15_pipeline_config, tiny_pipeline_config
     from freefine_tpu.pipeline import FreeFine, load_pipeline_params
+    from freefine_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     cfg = tiny_pipeline_config() if args.config == "tiny" else sd15_pipeline_config()
     pipe = FreeFine(config=cfg, init_random=True, tokenizer_path=args.weights)

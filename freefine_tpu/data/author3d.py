@@ -258,6 +258,9 @@ def main(argv: Optional[List[str]] = None):
     ap.add_argument("--max-cases", type=int, default=None)
     args = ap.parse_args(argv)
 
+    from freefine_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     depth_fn = (
         make_depth_fn(args.depth, args.depth_params, args.encoder)
     )
