@@ -163,6 +163,20 @@ class FreeFineApp:
             num_step=num_step, start_step=start_step, seed=seed,
         )
 
+    def run_complete(self, image, full_mask, draw_mask, prompt,
+                     guidance_scale=7.5, eta=1.0, num_step=50,
+                     start_step=25, seed=42):
+        """Structure completion (sc_vis.ipynb / Partial-Editing): the
+        draw mask marks the missing region to synthesise; the coarse
+        input is the image itself."""
+        return self.pipe.generation(
+            image, full_mask, image, full_mask, prompt,
+            guidance_scale=guidance_scale, eta=eta,
+            num_step=num_step, start_step=start_step,
+            end_step=max(1, num_step // 5),
+            draw_mask=draw_mask, use_auto_draw=False, seed=seed,
+        )
+
 
 ASSETS = __import__("os").path.join(
     __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
@@ -320,6 +334,31 @@ def create_demo(app: FreeFineApp):
             if ex3:
                 gr.Examples(examples=ex3,
                             inputs=[a_img, a_msk, b_img, b_msk])
+        with gr.Tab("Structure Completion"):
+            gr.Markdown(
+                "Complete a partially visible object: the full mask covers "
+                "the intended complete structure, the draw mask marks the "
+                "missing region to synthesise (reference sc_vis.ipynb / "
+                "Examples/Partial-Editing)."
+            )
+            with gr.Row():
+                c_img = gr.Image(label="Input", type="numpy")
+                c_full = gr.Image(label="Full structure mask",
+                                  type="numpy", image_mode="L")
+                c_draw = gr.Image(label="Draw mask (missing part)",
+                                  type="numpy", image_mode="L")
+            with gr.Row():
+                out4 = gr.Image(label="Result")
+            prompt4 = gr.Textbox(label="Prompt", value="a complete object")
+            btn4 = gr.Button("Complete")
+            btn4.click(
+                lambda i, f, d, p: app.run_complete(i, f, d, p),
+                [c_img, c_full, c_draw, prompt4], out4,
+            )
+            ex4 = _task_examples("Partial-Editing", "ori.png",
+                                 "full_mask.png", "partial_mask_0.png")
+            if ex4:
+                gr.Examples(examples=ex4, inputs=[c_img, c_full, c_draw])
     return demo
 
 

@@ -187,9 +187,10 @@ def run_geobench_baseline(
                 gm = read_mask(ds.resolve(case["ori_mask_path"]), size=size)
                 gt = read_mask(ds.resolve(case["tgt_mask_path"]), size=size)
                 s, t = region_pair_to_pts(gm, gt, scale=1 / 8)
+                # full-frame mask, exactly like the batch-1 lane and the
+                # reference (eval_geobench.py:107 mask = ones_like)
                 items.append(dict(
                     ori_image=gi, source_pts=s * 8, target_pts=t * 8,
-                    mask=((gm > 0) | (gt > 0)).astype(np.float32),
                 ))
                 prompts.append(f"image of {case.get('obj_label', 'object')}")
             case_t0 = time.time()
@@ -332,6 +333,13 @@ def main(argv=None):
     ap.add_argument("--config", default="sd15", choices=["sd15", "tiny"])
     ap.add_argument("--max-cases", type=int, default=None)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="cases per compiled batch (region_drag only)")
+    ap.add_argument("--raft-params", default=None,
+                    help="motion_guidance: RAFT msgpack params "
+                         "(random-init otherwise)")
+    ap.add_argument("--depth-params", default=None,
+                    help="diffusion_handles: Depth-Anything msgpack params")
     args = ap.parse_args(argv)
 
     from freefine_tpu.config import sd15_pipeline_config, tiny_pipeline_config
@@ -344,9 +352,28 @@ def main(argv=None):
     pipe = FreeFine(config=cfg, init_random=True, tokenizer_path=args.weights)
     if args.weights:
         load_pipeline_params(pipe, args.weights)
+
+    runner_kwargs = {}
+    if args.baseline == "motion_guidance" and args.raft_params:
+        import flax.serialization
+
+        from freefine_tpu.models.raft import RAFT, RAFTConfig
+
+        raft = RAFT(config=RAFTConfig())
+        with open(args.raft_params, "rb") as f:
+            raft_params = flax.serialization.msgpack_restore(f.read())
+        runner_kwargs = dict(raft=raft, raft_params=raft_params)
+    elif args.baseline == "diffusion_handles" and args.depth_params:
+        from freefine_tpu.data.author3d import make_depth_fn
+
+        runner_kwargs = dict(
+            depth_fn=make_depth_fn("depth_anything", args.depth_params)
+        )
+
     run_geobench_baseline(
         pipe, args.annotations, args.dst, baseline=args.baseline,
-        max_cases=args.max_cases, seed=args.seed,
+        max_cases=args.max_cases, seed=args.seed, batch_size=args.batch,
+        runner_kwargs=runner_kwargs,
     )
 
 

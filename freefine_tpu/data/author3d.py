@@ -127,7 +127,10 @@ def run_geobench_author3d(
     )
 
     pidx, pcount = maybe_initialize_distributed()
-    base3d = osp.join(dst_base, "Geo-Bench-3D")
+    # absolute output paths: the authored annotations are consumed by
+    # GeoBenchDataset.resolve, which joins non-absolute paths onto the
+    # annotations' dirname — a relative dst_base would double-prefix
+    base3d = osp.abspath(osp.join(dst_base, "Geo-Bench-3D"))
     dirs = {
         "coarse": osp.join(base3d, "coarse3d_depth_anything"),
         "mesh": osp.join(base3d, "mesh_mask"),

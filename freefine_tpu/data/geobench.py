@@ -79,10 +79,14 @@ class GeoBenchDataset:
         self.base_dir = base_dir
         self.cases: List[Dict] = []
         self.existing_results: List[Dict] = []
+        self.da_meta_keys: set = set()
         for da_n, da in annotations.items():
             # image-level metadata (e.g. '4v_caption', the prompt several
-            # baseline protocols use) rides along on every case
+            # baseline protocols use) rides along on every case; it is
+            # stripped again by merge_results so the output JSON keeps the
+            # reference's per-case format
             da_meta = {k: v for k, v in da.items() if k != "instances"}
+            self.da_meta_keys.update(da_meta)
             for ins_id, current_ins in da.get("instances", {}).items():
                 for edit_ins, pack in current_ins.items():
                     item = {
@@ -130,6 +134,10 @@ class GeoBenchDataset:
         for r in result_lists:
             final.extend(r)
         out: Dict = {}
+        final = [
+            {k: v for k, v in item.items() if k not in self.da_meta_keys}
+            for item in final
+        ]
         for item in final:
             da_n, ins_id, edit_ins = item["da_n"], item["ins_id"], item["edit_ins"]
             out.setdefault(da_n, {"instances": {}})

@@ -7,12 +7,13 @@ one pass per tile — load an (H, W, C-block) slab into VMEM once, compute
 its group statistics, normalize, apply the affine and the SiLU, write
 once — halving the HBM traffic of those segments.
 
-Tiling: GroupNorm statistics are channel-local per group, so the channel
-axis splits into blocks of whole groups; each (batch image, channel
-block) tile is fully independent.  The block size is the largest
-whole-group multiple whose padded tile fits the ~16 MB scoped VMEM
-(measured ~16 bytes per 128-padded element on v5e; the first full-slab
-attempt OOM'd at 24.2 MB for 64^2 x 320 and motivated the split).
+Tiling: one grid step per batch image with the full (H, W, C) slab
+resident in its input dtype; the float32 work happens in row chunks
+inside the kernel.  (A channel-block grid is impossible here: Mosaic
+requires 128-multiple lane blocks and SD's group size is 10 channels,
+so no block boundary can align with both.  The first full-slab-f32
+design OOM'd the 16 MB scoped VMEM at 24.2 MB for 64^2 x 320 and
+motivated the two-sweep redesign.)
 
 Group statistics use one-hot matmuls instead of in-kernel reshapes
 (lane-dim reshapes of the (C,) vectors are what Mosaic dislikes):

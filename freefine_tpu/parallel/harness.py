@@ -335,7 +335,8 @@ def run_geobench_inference(
                 ds.resolve(
                     case.get(
                         "coarse_input_path_0",
-                        osp.join(dst_base, "coarse3d_depth_anything",
+                        osp.join(dst_base, "Geo-Bench-3D",
+                                 "coarse3d_depth_anything",
                                  da_n, ins_id, f"{edit_ins}.png"),
                     )
                 )

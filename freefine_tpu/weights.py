@@ -149,16 +149,6 @@ def _convert_tree(flax_params, tensors: Dict[str, np.ndarray], prefix: str = "",
 
 _UNET_REWRITES = ()
 
-_VAE_REWRITES = (
-    (r"^encoder\.mid\.resnets", "encoder.mid_block.resnets"),
-    (r"^encoder\.mid\.attentions", "encoder.mid_block.attentions"),
-    (r"^decoder\.mid\.resnets", "decoder.mid_block.resnets"),
-    (r"^decoder\.mid\.attentions", "decoder.mid_block.attentions"),
-    (r"^encoder\.quant_conv", "quant_conv"),
-    (r"^decoder\.post_quant_conv", "post_quant_conv"),
-    (r"attentions\.0\.norm", "attentions.0.group_norm"),
-)
-
 _TEXT_REWRITES = (
     (r"^token_embedding", "text_model.embeddings.token_embedding"),
     (r"^position_embedding", "text_model.embeddings.position_embedding"),

@@ -150,3 +150,26 @@ def test_task_examples_tree():
     for rows in (rem, e2d, e3d, ap, comp, pe):
         for row in rows:
             assert all(osp.exists(p) for p in row)
+
+
+def test_run_complete_wires_draw_mask(monkeypatch):
+    """The SC tab runner routes draw_mask with use_auto_draw=False."""
+    from app import FreeFineApp
+
+    seen = {}
+
+    class FakePipe:
+        def generation(self, img, mask, coarse, tgt, prompt, **kw):
+            seen.update(kw, prompt=prompt)
+            return img
+
+    app = FreeFineApp.__new__(FreeFineApp)
+    app.pipe = FakePipe()
+    img = np.zeros((8, 8, 3), np.uint8)
+    m = np.zeros((8, 8), np.uint8)
+    d = np.ones((8, 8), np.uint8)
+    out = app.run_complete(img, m, d, "a cup", num_step=10)
+    assert out is img
+    assert seen["use_auto_draw"] is False
+    assert seen["draw_mask"] is d
+    assert seen["end_step"] == 2 and seen["prompt"] == "a cup"
