@@ -19,7 +19,10 @@ attention sharing.
 GeoBench 2D defaults (eval_geobench.py:73): 50 steps, lr 0.03,
 optimize_steps 0.95, latent_replace 0.6, sharing window 0.97, loss
 weights movement 6.5/3.34, sim 0.74/0.5, removal 4.34/2.67 (self/cross),
-smoothness 0.  The reference's 3D path warps by depth-based splatting;
+smoothness 0.  The reference's adaptive per-step removal-weight
+controller (optimization.adaptive_optimization_step_editing, invoked at
+editor.py:286-293) runs as a traced in-scan multiplier update — see
+`adaptive_removal_schedule`.  The reference's 3D path warps by depth-based splatting;
 this core takes any dense warp grid — the analytic 2D affine here,
 `ops.point_splat.compute_correspondence` for 3D.
 """

@@ -307,7 +307,11 @@ def run_geobench_inference(
             max_cases=max_cases, progress=progress,
         )
     if start_step is None:
-        start_step = 15 if task == "3d" else 35
+        # protocol defaults at 50 steps (35 for 2D, 15 for 3D), scaled
+        # proportionally for short smoke runs
+        start_step = round(num_step * (15 if task == "3d" else 35) / 50)
+        start_step = max(1, min(start_step, num_step - 1))
+    assert 0 < start_step < num_step, (start_step, num_step)
     pidx, pcount = maybe_initialize_distributed()
     gen_dir = osp.join(dst_base, f"Geo-Bench-{task.upper()}",
                        f"Gen_results_freefine_{task}")
