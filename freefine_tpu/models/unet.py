@@ -160,6 +160,9 @@ class UNet2DCondition(nn.Module):
         if h_sample is not None:
             if sample.shape[0] == 4 and h_sample.shape[0] == 2:
                 h = jnp.stack([h_sample[0], h[1], h_sample[1], h[3]])
+            elif sample.shape[0] == 3 and h_sample.shape[0] == 2:
+                # deduped edit layout [u_e, r, c_e]: replace both edit streams
+                h = jnp.stack([h_sample[0], h[1], h_sample[1]])
             else:
                 h = h_sample.astype(h.dtype)
 

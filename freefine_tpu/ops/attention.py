@@ -217,19 +217,30 @@ def _tca_fused(
     )
 
 
+# Stream index of the reference K/V source per edit-layout batch size:
+#   4-stream [u_e, u_r, c_e, c_r] -> [u_r, u_r, c_r, c_r]  (legacy, matches
+#     the reference batch layout, model.py:536-564);
+#   3-stream [u_e, r, c_e]        -> [r, r, r]  (deduped: the reference
+#     stream's uncond and cond passes are identical — same latent, same ""
+#     prompt — so one shared stream serves both CFG halves; see
+#     sample_edit_loop and tests/test_stream_dedup.py).
+_REF_GATHER = {3: (1, 1, 1), 4: (1, 1, 3, 3)}
+
+
 def _ref_stream_gather(x: jnp.ndarray) -> jnp.ndarray:
-    """K/V replacement for the 4-stream edit layout: [a,b,c,d] -> [b,b,d,d].
-
-    Reference `cross_manner_attention_modulate` (attention.py:1033-1035):
-    every stream attends to the *reference* stream of its CFG half.
-    """
-    return x[jnp.array([1, 1, 3, 3])]
+    """K/V replacement for the edit/bggen stream layouts (reference
+    `cross_manner_attention_modulate`, attention.py:1033-1035: every stream
+    attends to the *reference* stream of its CFG half)."""
+    return x[jnp.array(_REF_GATHER[x.shape[0]])]
 
 
-def _edit_rows(per_token: jnp.ndarray) -> jnp.ndarray:
-    """[S] mask -> [4, S]: applied to edit streams (0, 2), ones for refs."""
+def _edit_rows(per_token: jnp.ndarray, b: int) -> jnp.ndarray:
+    """[S] mask -> [B, S]: applied to the edit streams, ones for the
+    reference stream(s).  B = 4 legacy layout, 3 deduped layout."""
     ones = jnp.ones_like(per_token)
-    return jnp.stack([per_token, ones, per_token, ones])
+    rows = {3: (per_token, ones, per_token),
+            4: (per_token, ones, per_token, ones)}[b]
+    return jnp.stack(rows)
 
 
 # ---------------------------------------------------------------------------
@@ -328,7 +339,7 @@ def _tca_edit(q, k, v, heads, cfg, state):
     stream's K/V twice (FG-restricted and BG-restricted) and composite by the
     target mask; reference streams fall through to vanilla self-attention.
     """
-    seq = q.shape[1]
+    b, seq, _ = q.shape
     fg_ref = state.fg_ref[seq]          # [S] source-object key mask
     tgt = state.fg_retain[seq]          # [S] target-region query mask
 
@@ -338,15 +349,15 @@ def _tca_edit(q, k, v, heads, cfg, state):
         tgt = (tgt > 0).astype(jnp.float32)  # binarised (attention.py:1071)
 
     fused = _tca_fused(
-        q, k, v, kc, vc, _edit_rows(fg_ref), _edit_rows(tgt),
+        q, k, v, kc, vc, _edit_rows(fg_ref, b), _edit_rows(tgt, b),
         _effective_cg(cfg, state), heads,
     )
     if fused is not None:
         return fused
 
-    attn_fg = sdpa(q, kc, vc, heads, key_bias(_edit_rows(fg_ref)))
-    attn_bg = sdpa(q, kc, vc, heads, key_bias(_edit_rows(1.0 - fg_ref)))
-    tq = _edit_rows(tgt)[:, :, None]         # [4, S, 1] query composite mask
+    attn_fg = sdpa(q, kc, vc, heads, key_bias(_edit_rows(fg_ref, b)))
+    attn_bg = sdpa(q, kc, vc, heads, key_bias(_edit_rows(1.0 - fg_ref, b)))
+    tq = _edit_rows(tgt, b)[:, :, None]      # [B, S, 1] query composite mask
     modulated = tq * attn_fg + (1.0 - tq) * attn_bg
 
     self_h = sdpa(q, k, v, heads)
@@ -359,7 +370,7 @@ def _tca_bggen(q, k, v, heads, cfg, state):
     Only the BG-masked reference attention is used — the removed object's
     keys are excluded so the hole is filled from background context.
     """
-    seq = q.shape[1]
+    b, seq, _ = q.shape
     obj = state.fg_retain[seq]  # object / inpainting-region mask
 
     kc = _ref_stream_gather(k)
@@ -367,13 +378,13 @@ def _tca_bggen(q, k, v, heads, cfg, state):
     # Fused route: with fg-keys = 1-obj and tq = 1, the kernel's modulated
     # output reduces to the BG-masked attention.
     fused = _tca_fused(
-        q, k, v, kc, vc, _edit_rows(1.0 - obj),
-        jnp.ones((4, seq), jnp.float32), _effective_cg(cfg, state), heads,
+        q, k, v, kc, vc, _edit_rows(1.0 - obj, b),
+        jnp.ones((b, seq), jnp.float32), _effective_cg(cfg, state), heads,
     )
     if fused is not None:
         return fused
 
-    attn_bg = sdpa(q, kc, vc, heads, key_bias(_edit_rows(1.0 - obj)))
+    attn_bg = sdpa(q, kc, vc, heads, key_bias(_edit_rows(1.0 - obj, b)))
     self_h = sdpa(q, k, v, heads)
     return _blend_with_self(attn_bg, self_h, cfg, state)
 
@@ -432,7 +443,7 @@ def _style_align_attention(q, k, v, heads, cfg, state):
         else:
             fg = state.fg_ref[seq]
             allowed = jnp.concatenate([ones, fg])          # own + ref-FG keys
-        rows = _edit_rows(allowed)
+        rows = _edit_rows(allowed, q.shape[0])
 
     return masked_sdpa(q, k_cat, v_cat, heads, rows)
 
@@ -667,7 +678,9 @@ def edit_cross_attention(
         hc = (per_prompt.astype(jnp.float32) * tgt[:, :, None]).sum(0)
         return jnp.concatenate([hu, hc[None].astype(q.dtype)], axis=0)
 
-    # edit / bggen: 4 streams
+    # edit / bggen: 4-stream [u_e, u_r, c_e, c_r] or deduped 3-stream
+    # [u_e, r, c_e] — either way h[0]/h[1]/h[2] are u_e/ref/c_e, and the
+    # legacy layout's c_r output is *replaced* by u_r (attention.py:1391).
     seq = q.shape[1]
     local = state.local_region[seq][:, None]               # [S, 1]
     h = sdpa(q, k, v, heads)
@@ -675,4 +688,6 @@ def edit_cross_attention(
     mod_c_e = local * c_e.astype(jnp.float32) + (1.0 - local) * u_e.astype(
         jnp.float32
     )
+    if q.shape[0] == 3:
+        return jnp.stack([u_e, u_r, mod_c_e.astype(h.dtype)])
     return jnp.stack([u_e, u_r, mod_c_e.astype(h.dtype), u_r])

@@ -130,7 +130,7 @@ def sample_edit_loop(
     schedule: DDIMSchedule,
     ecfg: EditConfig,
     traj: jnp.ndarray,            # [K+1, 2, h, w, c] inversion trajectory
-    text_emb: jnp.ndarray,        # [4, 77, D]: [uncond, uncond, edit, ""]
+    text_emb: jnp.ndarray,        # [3, 77, D] [u, u_ref, edit] (or legacy [4])
     state: EditState,
     cg: jnp.ndarray,              # [K] context guidance schedule
     gates: jnp.ndarray,           # [K] share gates
@@ -148,8 +148,21 @@ def sample_edit_loop(
     """Geometric-edit regeneration (reference forward_sampling,
     model.py:476-622) as one scan.  Returns final 2-stream latents, or
     (final, per-step edit-stream latents [K, h, w, c]) when
-    return_intermediates (the reference's latents_list, model.py:618)."""
+    return_intermediates (the reference's latents_list, model.py:618).
+
+    Stream layout follows text_emb's leading dim:
+      * 3 rows [uncond, uncond_ref, cond_edit] — deduped layout [u_e, r, c_e].
+        The reference's 4-stream batch (model.py:536-564) runs the reference
+        stream twice with identical latents and identical ("") prompts, so
+        its two passes are equal by construction (the local-CFG cross-attn
+        even hard-replaces c_r's output with u_r's, attention.py:1391);
+        sharing one stream cuts sampling UNet compute by 25% with unchanged
+        math (tests/test_stream_dedup.py asserts equality).
+      * 4 rows [uncond, uncond, cond_edit, ""] — the legacy reference layout
+        [u_e, u_r, c_e, c_r], kept for equivalence testing.
+    """
     k = traj.shape[0] - 1
+    nstr = jax.tree_util.tree_leaves(text_emb)[0].shape[0]
     ts = schedule.timesteps[start_step : start_step + k]
     # Reference pins stream 1 to refer_latents[i - start_step + 1][1]
     # with refer_latents = trajectory[::-1]  (model.py:582-586,1678).
@@ -164,9 +177,17 @@ def sample_edit_loop(
         t, cgt, gt, ref = xs
         lat = lat.at[1:].set(ref)
         st = dataclasses.replace(state, context_guidance=cgt, share_gate=gt)
-        model_in = jnp.concatenate([lat, lat], axis=0)
+        if nstr == 3:
+            model_in = jnp.concatenate([lat, lat[:1]], axis=0)  # [u_e, r, c_e]
+        else:
+            model_in = jnp.concatenate([lat, lat], axis=0)
         eps = unet_apply(params, model_in, t, text_emb, ecfg, st)
-        nu, nc = jnp.split(eps.astype(jnp.float32), 2, axis=0)
+        eps = eps.astype(jnp.float32)
+        if nstr == 3:
+            nu = eps[:2]                                      # [u_e, r]
+            nc = jnp.concatenate([eps[2:3], eps[1:2]], axis=0)  # [c_e, r]
+        else:
+            nu, nc = jnp.split(eps, 2, axis=0)
         if local_text_edit:
             noise = nu + guidance_scale * (nc - nu) * cfg_mask
         else:
@@ -189,7 +210,7 @@ def sample_bggen_loop(
     schedule: DDIMSchedule,
     ecfg: EditConfig,
     traj: jnp.ndarray,        # [K+1, 1, h, w, c]
-    text_emb: jnp.ndarray,    # [4, 77, D]
+    text_emb: jnp.ndarray,    # [3, 77, D] [u, u_ref, cond] (or legacy [4])
     state: EditState,
     cg: jnp.ndarray,
     gates: jnp.ndarray,
@@ -206,8 +227,12 @@ def sample_bggen_loop(
     """Background generation / removal (forward_sampling_background_gen,
     model.py:656-812).  The reference stream at step i is the inverted
     latent at the *matching* noise level (refer_latents[i - start_step],
-    model.py:757)."""
+    model.py:757).
+
+    Stream layout follows text_emb's leading dim, as in `sample_edit_loop`:
+    3 rows -> deduped [u_g, r, c_g]; 4 rows -> legacy [u_g, u_r, c_g, c_r]."""
     k = traj.shape[0] - 1
+    nstr = jax.tree_util.tree_leaves(text_emb)[0].shape[0]
     ts = schedule.timesteps[start_step : start_step + k]
     refs = jnp.flip(traj[1:], axis=0)  # [K, 1, h, w, c]
     init = traj[-1]
@@ -220,9 +245,17 @@ def sample_bggen_loop(
         t, cgt, gt, ref = xs
         lat2 = jnp.concatenate([lat, ref], axis=0)
         st = dataclasses.replace(state, context_guidance=cgt, share_gate=gt)
-        model_in = jnp.concatenate([lat2, lat2], axis=0)
+        if nstr == 3:
+            model_in = jnp.concatenate([lat2, lat2[:1]], axis=0)
+        else:
+            model_in = jnp.concatenate([lat2, lat2], axis=0)
         eps = unet_apply(params, model_in, t, text_emb, ecfg, st)
-        nu, nc = jnp.split(eps.astype(jnp.float32), 2, axis=0)
+        eps = eps.astype(jnp.float32)
+        if nstr == 3:
+            nu = eps[:2]
+            nc = jnp.concatenate([eps[2:3], eps[1:2]], axis=0)
+        else:
+            nu, nc = jnp.split(eps, 2, axis=0)
         if local_text_edit:
             noise = nu + guidance_scale * (nc - nu) * cfg_mask
         else:
@@ -822,10 +855,14 @@ class FreeFine:
         return out, collect_maps(vs["intermediates"])
 
     def _edit_text_embeddings(self, guidance_text: str) -> jnp.ndarray:
-        """[uncond, uncond, cond_edit, cond_ref("")] — the 4-stream CFG text
-        layout of forward_sampling (model.py:536-564)."""
+        """[uncond, uncond_ref, cond_edit] — the deduped 3-stream CFG text
+        layout.  The reference runs 4 streams [u_e, u_r, c_e, c_r]
+        (forward_sampling, model.py:536-564), but its two reference streams
+        receive identical latents AND identical ("") prompts, so c_r == u_r
+        by construction; one shared reference stream cuts sampling UNet
+        compute by 25% with unchanged outputs (tests/test_stream_dedup.py)."""
         embs = self.encode_text(["", guidance_text])
-        return jnp.stack([embs[0], embs[0], embs[1], embs[0]])
+        return jnp.stack([embs[0], embs[0], embs[1]])
 
 
 # ---------------------------------------------------------------------------
@@ -856,11 +893,11 @@ def edit_case_fn(
     the key throughput unlock on large chips.
     """
 
-    def fn(params, lat2, text2, text4, state, cg, gates, cfg_mask, var_mask, rng):
+    def fn(params, lat2, text2, text_s, state, cg, gates, cfg_mask, var_mask, rng):
         traj = ddim_invert_loop(unet_plain, params, schedule, lat2, text2,
                                 num_actual)
         return sample_edit_loop(
-            unet_edit, params, schedule, ecfg, traj, text4, state, cg, gates,
+            unet_edit, params, schedule, ecfg, traj, text_s, state, cg, gates,
             cfg_mask, var_mask, rng,
             start_step=start_step, guidance_scale=guidance_scale, eta=eta,
             local_text_edit=local_text_edit,
@@ -965,7 +1002,7 @@ class BatchedFreeFine:
             )
             u = jnp.broadcast_to(uncond[None], (n,) + uncond.shape)
             text2 = jnp.stack([u, u], axis=1)               # [n, 2, 77, D]
-            text4 = jnp.stack([u, u, conds, u], axis=1)     # [n, 4, 77, D]
+            text3 = jnp.stack([u, u, conds], axis=1)        # [n, 3, 77, D]
         with tm.stage("mask_prep"):
             tgt = _stack_masks_np(
                 [c["target_mask"] for c in cases], cfg.height, cfg.width)
@@ -1032,7 +1069,7 @@ class BatchedFreeFine:
         rngs = jax.random.split(jax.random.key(seed), n)
         with tm.stage("edit"):
             out = pipe._jit_cache[key](
-                pipe.params, lat2, text2, text4,
+                pipe.params, lat2, text2, text3,
                 states, jnp.asarray(cg), jnp.asarray(gates),
                 cfg_masks, var_masks, rngs,
             )
@@ -1074,7 +1111,7 @@ class BatchedFreeFine:
             )
             u = jnp.broadcast_to(uncond[None], (n,) + uncond.shape)
             text1 = u[:, None]                               # [n, 1, 77, D]
-            text4 = jnp.stack([u, u, conds, u], axis=1)
+            text3 = jnp.stack([u, u, conds], axis=1)
         with tm.stage("mask_prep"):
             masks = _stack_masks_np(
                 [c["ori_mask"] for c in cases], cfg.height, cfg.width)
@@ -1118,7 +1155,7 @@ class BatchedFreeFine:
         rngs = jax.random.split(jax.random.key(seed), n)
         with tm.stage("edit"):
             out = pipe._jit_cache[key](
-                pipe.params, lat1, text1, text4,
+                pipe.params, lat1, text1, text3,
                 states, jnp.asarray(cg), jnp.asarray(gates),
                 lvars, lvars, rngs,
             )
@@ -1319,6 +1356,7 @@ def sample_guided_loop(
     mask_cur, mask_other, mask_no = energy_masks
     target_hw = mask_cur.shape
     k = traj.shape[0] - 1
+    nstr = jax.tree_util.tree_leaves(text_emb)[0].shape[0]
     ts = schedule.timesteps[start_step : start_step + k]
     refs = jnp.flip(traj[:k], axis=0)[:, 1:]
     init = traj[-1]
@@ -1330,9 +1368,17 @@ def sample_guided_loop(
         t, cgt, gt, ref, sid = xs
         lat = lat.at[1:].set(ref)
         st = dataclasses.replace(state, context_guidance=cgt, share_gate=gt)
-        model_in = jnp.concatenate([lat, lat], axis=0)
+        if nstr == 3:
+            model_in = jnp.concatenate([lat, lat[:1]], axis=0)
+        else:
+            model_in = jnp.concatenate([lat, lat], axis=0)
         eps = unet_apply(params, model_in, t, text_emb, ecfg, st)
-        nu, nc = jnp.split(eps.astype(jnp.float32), 2, axis=0)
+        eps = eps.astype(jnp.float32)
+        if nstr == 3:
+            nu = eps[:2]
+            nc = jnp.concatenate([eps[2:3], eps[1:2]], axis=0)
+        else:
+            nu, nc = jnp.split(eps, 2, axis=0)
         noise = nu + guidance_scale * (nc - nu) * cfg_mask
 
         g = energy_guidance(
@@ -1385,11 +1431,11 @@ def bggen_case_fn(
 ):
     """One removal case's full compute (invert -> bggen loop), vmappable."""
 
-    def fn(params, lat1, text1, text4, state, cg, gates, cfg_mask, var_mask, rng):
+    def fn(params, lat1, text1, text_s, state, cg, gates, cfg_mask, var_mask, rng):
         traj = ddim_invert_loop(unet_plain, params, schedule, lat1, text1,
                                 num_actual)
         return sample_bggen_loop(
-            unet_edit, params, schedule, ecfg, traj, text4, state, cg, gates,
+            unet_edit, params, schedule, ecfg, traj, text_s, state, cg, gates,
             cfg_mask, var_mask, rng,
             start_step=start_step, guidance_scale=guidance_scale, eta=eta,
             local_text_edit=local_text_edit,

@@ -139,7 +139,8 @@ class SDXLFreeFine(FreeFine):
     def _edit_text_embeddings(self, guidance_text: str):
         ctx, pooled = self._encode_dual(["", guidance_text])
         added = self._added_cond(pooled)
-        order = jnp.asarray([0, 0, 1, 0])
+        # deduped 3-stream layout [u_e, r, c_e] (see pipeline.sample_edit_loop)
+        order = jnp.asarray([0, 0, 1])
         return ctx[order], added[order]
 
     def _stream_text_embeddings(self, texts: Sequence[str]):

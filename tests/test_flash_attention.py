@@ -74,9 +74,9 @@ def test_flash_sdpa_bf16(qkv):
 
 def _einsum_tca(q, k, v, fg_ref, tgt, cg):
     kc, vc = k[jnp.array([1, 1, 3, 3])], v[jnp.array([1, 1, 3, 3])]
-    attn_fg = A.sdpa(q, kc, vc, HEADS, A.key_bias(A._edit_rows(fg_ref)))
-    attn_bg = A.sdpa(q, kc, vc, HEADS, A.key_bias(A._edit_rows(1.0 - fg_ref)))
-    tq = A._edit_rows(tgt)[:, :, None]
+    attn_fg = A.sdpa(q, kc, vc, HEADS, A.key_bias(A._edit_rows(fg_ref, 4)))
+    attn_bg = A.sdpa(q, kc, vc, HEADS, A.key_bias(A._edit_rows(1.0 - fg_ref, 4)))
+    tq = A._edit_rows(tgt, 4)[:, :, None]
     modulated = tq * attn_fg + (1.0 - tq) * attn_bg
     self_h = A.sdpa(q, k, v, HEADS)
     return cg * modulated + (1.0 - cg) * self_h
@@ -89,7 +89,7 @@ def test_tca_flash_matches_einsum_composite(qkv, rng_np):
     cg = 0.7
     kc, vc = k[jnp.array([1, 1, 3, 3])], v[jnp.array([1, 1, 3, 3])]
     got = tca_flash(
-        q, k, v, kc, vc, A._edit_rows(fg), A._edit_rows(tgt),
+        q, k, v, kc, vc, A._edit_rows(fg, 4), A._edit_rows(tgt, 4),
         jnp.float32(cg), heads=HEADS, block_q=128, block_k=128,
     )
     want = _einsum_tca(q, k, v, fg, tgt, cg)
@@ -167,7 +167,7 @@ def test_tca_flash_diff_forward_matches(qkv, rng_np):
     tgt = jnp.asarray((rng_np.random(SEQ) > 0.4).astype(np.float32))
     kc, vc = k[jnp.array([1, 1, 3, 3])], v[jnp.array([1, 1, 3, 3])]
     got = tca_flash_diff(
-        q, k, v, kc, vc, A._edit_rows(fg), A._edit_rows(tgt),
+        q, k, v, kc, vc, A._edit_rows(fg, 4), A._edit_rows(tgt, 4),
         jnp.float32(0.7), HEADS, 128, 128,
     )
     want = _einsum_tca(q, k, v, fg, tgt, 0.7)
@@ -176,7 +176,7 @@ def test_tca_flash_diff_forward_matches(qkv, rng_np):
     # under vjp the residual-emitting forward must agree too
     got_vjp, _ = jax.vjp(
         lambda q_, ks_, vs_, km_, vm_: tca_flash_diff(
-            q_, ks_, vs_, km_, vm_, A._edit_rows(fg), A._edit_rows(tgt),
+            q_, ks_, vs_, km_, vm_, A._edit_rows(fg, 4), A._edit_rows(tgt, 4),
             jnp.float32(0.7), HEADS, 128, 128,
         ),
         q, k, v, kc, vc,
@@ -197,14 +197,14 @@ def test_tca_flash_vjp_matches_einsum_grads(qkv, rng_np):
 
     def loss_flash(q, ks, vs, km, vm):
         out = tca_flash_diff(
-            q, ks, vs, km, vm, A._edit_rows(fg), A._edit_rows(tgt),
+            q, ks, vs, km, vm, A._edit_rows(fg, 4), A._edit_rows(tgt, 4),
             jnp.float32(cg), HEADS, 128, 128,
         )
         return jnp.sum((out - out_tgt) ** 2)
 
     def loss_ref(q, ks, vs, km, vm):
-        rows_fg = A._edit_rows(fg)
-        rows_tq = A._edit_rows(tgt)
+        rows_fg = A._edit_rows(fg, 4)
+        rows_tq = A._edit_rows(tgt, 4)
         attn_fg = A.sdpa(q, km, vm, HEADS, A.key_bias(rows_fg))
         attn_bg = A.sdpa(q, km, vm, HEADS, A.key_bias(1.0 - rows_fg))
         tq = rows_tq[:, :, None]
