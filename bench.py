@@ -3,7 +3,9 @@
 Reproduces the reference's 2D GeoBench inference envelope
 (evaluation/FreeFine/freefine_batch_infer_2d.py:212-230): SD-1.5, 512^2,
 num_step=50, start_step=35 (15 inversion UNet passes on a 2-stream batch +
-15 regeneration passes on a 4-stream batch), guidance 7.5, eta 1.0, TCA.
+15 regeneration passes on the deduped 3-stream batch [u_e, r, c_e] — the
+reference runs 4 streams but its c_r duplicates u_r, see
+pipeline.sample_edit_loop), guidance 7.5, eta 1.0, TCA.
 Weights are randomly initialised — identical FLOPs/memory to the real
 checkpoint, no quality claim.
 

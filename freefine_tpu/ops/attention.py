@@ -231,6 +231,12 @@ def _ref_stream_gather(x: jnp.ndarray) -> jnp.ndarray:
     """K/V replacement for the edit/bggen stream layouts (reference
     `cross_manner_attention_modulate`, attention.py:1033-1035: every stream
     attends to the *reference* stream of its CFG half)."""
+    if x.shape[0] not in _REF_GATHER:
+        raise ValueError(
+            f"edit/bggen attention expects the deduped 3-stream [u_e, r, "
+            f"c_e] or legacy 4-stream [u_e, u_r, c_e, c_r] batch layout, "
+            f"got batch {x.shape[0]}"
+        )
     return x[jnp.array(_REF_GATHER[x.shape[0]])]
 
 
@@ -238,8 +244,14 @@ def _edit_rows(per_token: jnp.ndarray, b: int) -> jnp.ndarray:
     """[S] mask -> [B, S]: applied to the edit streams, ones for the
     reference stream(s).  B = 4 legacy layout, 3 deduped layout."""
     ones = jnp.ones_like(per_token)
-    rows = {3: (per_token, ones, per_token),
-            4: (per_token, ones, per_token, ones)}[b]
+    try:
+        rows = {3: (per_token, ones, per_token),
+                4: (per_token, ones, per_token, ones)}[b]
+    except KeyError:
+        raise ValueError(
+            f"edit/bggen attention expects the deduped 3-stream or legacy "
+            f"4-stream batch layout, got batch {b}"
+        ) from None
     return jnp.stack(rows)
 
 

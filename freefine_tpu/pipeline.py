@@ -124,6 +124,28 @@ def ddim_invert_loop(
     return jnp.concatenate([latents[None], traj], axis=0)
 
 
+def _cfg_model_in(lat: jnp.ndarray, nstr: int) -> jnp.ndarray:
+    """Stack the sampling UNet input from the per-stream latents.
+
+    Deduped layout (nstr == len(lat) + 1): append ONE shared reference row
+    ([u..., r] -> [u..., r, c_edit] with c_edit fed the edit latent);
+    legacy layout (nstr == 2 * len(lat)): double every row.
+    """
+    if nstr == lat.shape[0] + 1:
+        return jnp.concatenate([lat, lat[:1]], axis=0)
+    return jnp.concatenate([lat, lat], axis=0)
+
+
+def _cfg_split(eps: jnp.ndarray, nstr: int):
+    """Split the UNet noise output into the (uncond, cond) stream pairs
+    that CFG combines.  Deduped layout: nu = [u_e, r], nc = [c_e, r] — the
+    shared reference row serves both halves; legacy: even halves."""
+    eps = eps.astype(jnp.float32)
+    if nstr == 3:
+        return eps[:2], jnp.concatenate([eps[2:3], eps[1:2]], axis=0)
+    return tuple(jnp.split(eps, 2, axis=0))
+
+
 def sample_edit_loop(
     unet_apply,
     params,
@@ -177,17 +199,9 @@ def sample_edit_loop(
         t, cgt, gt, ref = xs
         lat = lat.at[1:].set(ref)
         st = dataclasses.replace(state, context_guidance=cgt, share_gate=gt)
-        if nstr == 3:
-            model_in = jnp.concatenate([lat, lat[:1]], axis=0)  # [u_e, r, c_e]
-        else:
-            model_in = jnp.concatenate([lat, lat], axis=0)
+        model_in = _cfg_model_in(lat, nstr)
         eps = unet_apply(params, model_in, t, text_emb, ecfg, st)
-        eps = eps.astype(jnp.float32)
-        if nstr == 3:
-            nu = eps[:2]                                      # [u_e, r]
-            nc = jnp.concatenate([eps[2:3], eps[1:2]], axis=0)  # [c_e, r]
-        else:
-            nu, nc = jnp.split(eps, 2, axis=0)
+        nu, nc = _cfg_split(eps, nstr)
         if local_text_edit:
             noise = nu + guidance_scale * (nc - nu) * cfg_mask
         else:
@@ -245,17 +259,9 @@ def sample_bggen_loop(
         t, cgt, gt, ref = xs
         lat2 = jnp.concatenate([lat, ref], axis=0)
         st = dataclasses.replace(state, context_guidance=cgt, share_gate=gt)
-        if nstr == 3:
-            model_in = jnp.concatenate([lat2, lat2[:1]], axis=0)
-        else:
-            model_in = jnp.concatenate([lat2, lat2], axis=0)
+        model_in = _cfg_model_in(lat2, nstr)
         eps = unet_apply(params, model_in, t, text_emb, ecfg, st)
-        eps = eps.astype(jnp.float32)
-        if nstr == 3:
-            nu = eps[:2]
-            nc = jnp.concatenate([eps[2:3], eps[1:2]], axis=0)
-        else:
-            nu, nc = jnp.split(eps, 2, axis=0)
+        nu, nc = _cfg_split(eps, nstr)
         if local_text_edit:
             noise = nu + guidance_scale * (nc - nu) * cfg_mask
         else:
@@ -1368,17 +1374,9 @@ def sample_guided_loop(
         t, cgt, gt, ref, sid = xs
         lat = lat.at[1:].set(ref)
         st = dataclasses.replace(state, context_guidance=cgt, share_gate=gt)
-        if nstr == 3:
-            model_in = jnp.concatenate([lat, lat[:1]], axis=0)
-        else:
-            model_in = jnp.concatenate([lat, lat], axis=0)
+        model_in = _cfg_model_in(lat, nstr)
         eps = unet_apply(params, model_in, t, text_emb, ecfg, st)
-        eps = eps.astype(jnp.float32)
-        if nstr == 3:
-            nu = eps[:2]
-            nc = jnp.concatenate([eps[2:3], eps[1:2]], axis=0)
-        else:
-            nu, nc = jnp.split(eps, 2, axis=0)
+        nu, nc = _cfg_split(eps, nstr)
         noise = nu + guidance_scale * (nc - nu) * cfg_mask
 
         g = energy_guidance(

@@ -115,3 +115,60 @@ def test_edit_loop_dedup_with_intermediates(env):
                               cg, gates, mask, mask, rng, **kw)
     np.testing.assert_allclose(np.asarray(f3), np.asarray(f4), atol=1e-3)
     np.testing.assert_allclose(np.asarray(i3), np.asarray(i4), atol=1e-3)
+
+
+@pytest.mark.parametrize("method", ["sdsa", "ssa"])
+def test_edit_loop_dedup_style_align(env, method):
+    """The KV-append style-align methods must agree 3- vs 4-stream too
+    (_style_align_attention builds per-layout row masks)."""
+    cfg, model, params, schedule, text3, text4, mask, state = env
+    lh = cfg.latent_height
+    ecfg = EditConfig(mode="edit", method=method)
+    traj = jax.random.normal(jax.random.key(5), (K + 1, 2, lh, lh, 4)) * 0.3
+    cg = jnp.zeros((K,))
+    gates = jnp.ones((K,))
+    rng = jax.random.key(10)
+    kw = dict(start_step=START, guidance_scale=7.5, eta=1.0,
+              local_text_edit=True, local_perturbation=True)
+    fn = _unet_edit(model, ecfg)
+    got3 = sample_edit_loop(fn, params, schedule, ecfg, traj, text3, state,
+                            cg, gates, mask, mask, rng, **kw)
+    got4 = sample_edit_loop(fn, params, schedule, ecfg, traj, text4, state,
+                            cg, gates, mask, mask, rng, **kw)
+    np.testing.assert_allclose(
+        np.asarray(got3), np.asarray(got4), atol=1e-3
+    )
+
+
+def test_guided_loop_dedup_matches_legacy(env):
+    """sample_guided_loop (DragonDiffusion-style energy guidance) must
+    agree 3- vs 4-stream, including the energy term (text_emb[2:3] is the
+    cond row in both layouts)."""
+    from freefine_tpu.pipeline import sample_guided_loop
+
+    cfg, model, params, schedule, text3, text4, mask, state = env
+    lh = cfg.latent_height
+    ecfg = EditConfig(mode="edit", method="tca")
+    traj = jax.random.normal(jax.random.key(6), (K + 1, 2, lh, lh, 4)) * 0.3
+    cg = jnp.linspace(1.0, 0.3, K)
+    gates = jnp.ones((K,))
+    rng = jax.random.key(11)
+    hw = (lh * 2, lh * 2)
+    mask_cur = jnp.zeros(hw).at[4:10, 4:10].set(1.0)
+    emasks = (mask_cur, 1.0 - mask_cur, jnp.ones(hw))
+
+    def unet_feat(p, s, t, emb, return_features=False):
+        return model.apply(p, s, t, emb, return_features=return_features)
+
+    fn = _unet_edit(model, ecfg)
+    kw = dict(start_step=START, guidance_scale=7.5, eta=1.0,
+              energy_scale=0.5, energy_until=K - 1)
+    got3 = sample_guided_loop(fn, unet_feat, params, schedule, ecfg, traj,
+                              text3, state, cg, gates, mask, mask, emasks,
+                              rng, **kw)
+    got4 = sample_guided_loop(fn, unet_feat, params, schedule, ecfg, traj,
+                              text4, state, cg, gates, mask, mask, emasks,
+                              rng, **kw)
+    np.testing.assert_allclose(
+        np.asarray(got3), np.asarray(got4), atol=1e-3
+    )
