@@ -42,6 +42,43 @@ from freefine_tpu.utils.cache import enable_persistent_cache
 enable_persistent_cache()
 
 
+def _random_params_fast(pipe, weights_dtype: str, seed: int = 0):
+    """Random params in the serving dtype, generated ON the device.
+
+    Avoids two traps of `model.init`: it executes a full init forward
+    (minutes on this 1-core host for SDXL at 1024^2), and it materialises
+    the f32 tree (~14 GB for SDXL — more than one 16 GB chip once the bf16
+    copy exists).  One jit builds the whole tree from `jax.eval_shape`
+    metadata: 'scale' leaves (norms) ones, other 1-D leaves zeros, kernels
+    N(0, 0.02) cast to bf16 when weights_dtype == 'bf16' (matmul/conv
+    kernels only — the same layout `weights.cast_params_for_inference`
+    produces).  Peak device memory = one serving-dtype tree."""
+    import jax
+    import jax.numpy as jnp
+
+    shapes = jax.eval_shape(pipe.init_params, jax.random.key(seed))
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+    big = jnp.bfloat16 if weights_dtype == "bf16" else jnp.float32
+
+    def build(key):
+        out = []
+        for i, (path, s) in enumerate(paths_leaves):
+            name = getattr(path[-1], "key", str(path[-1]))
+            if name == "scale":
+                out.append(jnp.ones(s.shape, jnp.float32))
+            elif len(s.shape) <= 1:
+                out.append(jnp.zeros(s.shape, jnp.float32))
+            else:
+                k = jax.random.fold_in(key, i)
+                out.append(
+                    (jax.random.normal(k, s.shape, jnp.float32) * 0.02)
+                    .astype(big)
+                )
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return jax.jit(build)(jax.random.key(seed))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=50, help="num DDIM steps")
@@ -53,6 +90,16 @@ def main():
     ap.add_argument("--profile", action="store_true",
                     help="per-stage timing via StageTimer (batched path; "
                          "prints the breakdown to stderr)")
+    ap.add_argument("--sdxl", action="store_true",
+                    help="SDXL backbone at 1024^2 (the reference's named "
+                         "scaling TODO, README:77); batch 1 only")
+    ap.add_argument("--weights-dtype", choices=["f32", "bf16"],
+                    default="bf16",
+                    help="param storage dtype (default bf16 — the serving "
+                         "layout: halves weight HBM traffic, measured "
+                         "40.6 vs 39.5 edits/min, and the f32 SDXL stack "
+                         "does not fit a 16 GB chip; f32 is the golden-"
+                         "comparison layout)")
     args = ap.parse_args()
 
     import jax
@@ -60,8 +107,32 @@ def main():
     from freefine_tpu.config import sd15_pipeline_config, tiny_pipeline_config
     from freefine_tpu.pipeline import FreeFine
 
-    cfg = tiny_pipeline_config() if args.tiny else sd15_pipeline_config()
-    pipe = FreeFine(config=cfg, init_random=True)
+    weights_dtype = args.weights_dtype
+    if args.sdxl and weights_dtype == "f32":
+        ap.error("--sdxl requires bf16 weights on a 16 GB chip")
+
+    # Construct with a params placeholder, then fill with device-generated
+    # random weights directly in the serving dtype (see
+    # _random_params_fast for why model.init cannot be used here).
+    if args.sdxl:
+        assert args.batch == 1 and not args.profile, (
+            "--sdxl benches the single-case path (BatchedFreeFine "
+            "stacks plain text arrays, not SDXL's (context, added_cond) "
+            "tuples)"
+        )
+        from freefine_tpu.config import (
+            sdxl_pipeline_config, tiny_sdxl_pipeline_config,
+        )
+        from freefine_tpu.sdxl import SDXLFreeFine
+
+        cfg = (tiny_sdxl_pipeline_config() if args.tiny
+               else sdxl_pipeline_config())
+        pipe = SDXLFreeFine(config=cfg, params={})
+    else:
+        cfg = tiny_pipeline_config() if args.tiny else sd15_pipeline_config()
+        pipe = FreeFine(config=cfg, params={})
+
+    pipe.params = _random_params_fast(pipe, weights_dtype)
 
     h, w = cfg.height, cfg.width
     rng = np.random.default_rng(42)
@@ -124,8 +195,14 @@ def main():
     per_edit = wall / args.repeats / args.batch
     epm = 60.0 / per_edit
 
+    if args.tiny:
+        metric = "edits/min (tiny smoke)"
+    elif args.sdxl:
+        metric = f"edits/min/chip SDXL @{cfg.height}^2 {num_step}-step"
+    else:
+        metric = "edits/min/chip @512^2 50-step"
     result = {
-        "metric": "edits/min/chip @512^2 50-step" if not args.tiny else "edits/min (tiny smoke)",
+        "metric": metric,
         "value": round(epm, 3),
         "unit": "edits/min",
         "vs_baseline": round(epm / 20.0, 3),

@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--eta", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--max-cases", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=1,
+                    help="cases per device step (BatchedFreeFine; the "
+                         "reference is locked to 1)")
     ap.add_argument("--inp-img-dir", default=None,
                     help="blended inpainted backgrounds (inp_img_blended/)")
     ap.add_argument("--tiny", action="store_true")
@@ -78,7 +81,7 @@ def main():
         task=args.task, num_step=args.num_step, start_step=args.start_step,
         guidance_scale=args.guidance_scale, eta=args.eta, seed=args.seed,
         inp_img_dir=args.inp_img_dir, max_cases=args.max_cases,
-        bench=args.bench,
+        bench=args.bench, batch_size=args.batch_size,
     )
 
 

@@ -55,10 +55,13 @@ class VAEAttention(nn.Module):
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(y).astype(jnp.float32)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(y).astype(jnp.float32)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(y).astype(jnp.float32)
-        scale = 1.0 / jnp.sqrt(jnp.float32(c))
-        logits = jnp.einsum("bqc,bkc->bqk", q, k) * scale
-        probs = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bqk,bkc->bqc", probs, v).astype(self.dtype)
+        # Route through the shared dispatcher: Pallas flash on TPU (O(S)
+        # memory — the dense [B, S, S] logits at a 128x128 bottleneck
+        # (1024^2 inputs, S=16384) are ~1 GB f32 per image and OOM the
+        # encode), einsum elsewhere; numerically equivalent (golden-tested).
+        from freefine_tpu.ops.attention import masked_sdpa
+
+        out = masked_sdpa(q, k, v, 1).astype(self.dtype)
         out = nn.Dense(c, dtype=self.dtype, name="to_out_0")(out)
         return residual + out.reshape(b, h, w, c)
 

@@ -277,6 +277,7 @@ def run_geobench_inference(
     results_name: Optional[str] = None,
     max_cases: Optional[int] = None,
     bench: str = "2d",
+    batch_size: int = 1,
     progress: Callable[[str], None] = print,
 ) -> Optional[Dict]:
     """Run FreeFine over GeoBench with case-level data parallelism.
@@ -289,6 +290,11 @@ def run_geobench_inference(
     For task="3d" the 3D-depth harness conventions apply
     (freefine_batch_infer_3d_depth.py:75-197): precomputed coarse inputs,
     draw/mesh masks, default start_step 15.
+
+    `batch_size > 1` groups cases through `BatchedFreeFine` (ONE vmapped
+    device step per group, identical protocol args; the reference harness
+    is locked to batch 1) — measured ~1.1x eval throughput at batch 2
+    (BATCH_SCALING.md).
 
     Returns the merged results dict on process 0 (None elsewhere).
     """
@@ -304,7 +310,7 @@ def run_geobench_inference(
             pipe, annotations_json, dst_base, bench=bench,
             num_step=num_step, start_step=start_step or 1,
             guidance_scale=guidance_scale, eta=eta, seed=seed,
-            max_cases=max_cases, progress=progress,
+            batch_size=batch_size, max_cases=max_cases, progress=progress,
         )
     if start_step is None:
         # protocol defaults at 50 steps (35 for 2D, 15 for 3D), scaled
@@ -324,8 +330,113 @@ def run_geobench_inference(
         f"({len(ds.existing_results)} already done)"
     )
 
+    def load_case(case) -> Dict:
+        """Load one case's inputs as a BatchedFreeFine-style dict following
+        the exact task protocol (shared by the batch-1 and batched paths)."""
+        da_n, ins_id, edit_ins = case["da_n"], case["ins_id"], case["edit_ins"]
+        ori_img = read_image(ds.resolve(case["ori_img_path"]))
+        ori_mask = read_mask(ds.resolve(case["ori_mask_path"]))
+        if task == "3d":
+            coarse = read_image(
+                ds.resolve(
+                    case.get(
+                        "coarse_input_path_0",
+                        osp.join(dst_base, "Geo-Bench-3D",
+                                 "coarse3d_depth_anything",
+                                 da_n, ins_id, f"{edit_ins}.png"),
+                    )
+                )
+            )
+            target_mask = read_mask(
+                ds.resolve(
+                    case.get(
+                        "target_mask_0",
+                        osp.join(dst_base, "Geo-Bench-3D", "mesh_mask",
+                                 da_n, ins_id, f"{edit_ins}.png"),
+                    )
+                )
+            )
+            draw_mask = read_mask(
+                ds.resolve(
+                    case.get(
+                        "draw_mask",
+                        osp.join(dst_base, "Geo-Bench-3D", "md_mask",
+                                 da_n, ins_id, f"{edit_ins}.png"),
+                    )
+                )
+            )
+            return dict(
+                ori_img=ori_img, ori_mask=ori_mask, coarse_input=coarse,
+                target_mask=target_mask, draw_mask=draw_mask,
+                cons_area=target_mask,
+                guidance_text=case.get("obj_label", ""),
+            )
+        if inp_img_dir is not None:
+            inp_bg = read_image(
+                osp.join(inp_img_dir, da_n, ins_id, "inp_img.png")
+            )
+        else:
+            inp_bg = ori_img
+        coarse, target_mask, _ = re_edit_2d(
+            ori_img, ori_mask, case["edit_param"], inp_bg
+        )
+        return dict(
+            ori_img=ori_img, ori_mask=ori_mask, coarse_input=coarse,
+            target_mask=target_mask, cons_area=target_mask,
+            guidance_text="",
+        )
+
     results: List[Dict] = []
     t0 = time.time()
+
+    if batch_size > 1:
+        # Case-batched eval (beyond the reference's hard batch-1 limit,
+        # freefine_batch_infer_2d.py:170): groups run through ONE vmapped
+        # device step via BatchedFreeFine; short tail groups are padded to
+        # the compiled batch size.  Protocol args identical to the batch-1
+        # path below.
+        from freefine_tpu.pipeline import BatchedFreeFine
+
+        batched = BatchedFreeFine(pipe)
+        done = 0
+        for b0 in range(0, len(my_cases), batch_size):
+            group_t0 = time.time()
+            group = my_cases[b0 : b0 + batch_size]
+            loaded = [load_case(c) for c in group]
+            padded = loaded + [loaded[-1]] * (batch_size - len(loaded))
+            outs = batched.generation(
+                padded, guidance_scale=guidance_scale, eta=eta,
+                num_step=num_step, start_step=start_step,
+                end_step=num_step, end_scale=0.0, method_type="tca",
+                use_auto_draw=(task != "3d"), reduce_inp_artifacts=True,
+                seed=seed,
+            )
+            per_case = (time.time() - group_t0) / len(group)
+            for case, out in zip(group, outs):
+                path = ds.output_path(
+                    case["da_n"], case["ins_id"], case["edit_ins"]
+                )
+                save_image(out, path)
+                results.append({
+                    **case, "gen_img_path": path,
+                    "edit_seconds": round(per_case, 3),
+                })
+            done += len(group)
+            rate = done / (time.time() - t0) * 60
+            progress(
+                f"[proc {pidx}] {done}/{len(my_cases)} ({rate:.1f} edits/min)"
+            )
+        gathered = _allgather_results(results)
+        if pidx != 0:
+            return None
+        merged = ds.merge_results(gathered)
+        out_path = osp.join(
+            dst_base, results_name or f"generated_results_freefine_{task}.json"
+        )
+        save_json(merged, out_path)
+        progress(f"[proc 0] wrote {out_path}")
+        return merged
+
     for i, case in enumerate(my_cases):
         case_t0 = time.time()
         da_n, ins_id, edit_ins = case["da_n"], case["ins_id"], case["edit_ins"]

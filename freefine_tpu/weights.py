@@ -340,6 +340,22 @@ def convert_inception_fid(flax_params, tensors, dtype=None):
     return {"params": jax.tree_util.tree_unflatten(treedef, leaves)}
 
 
+def cast_params_for_inference(params, dtype=jnp.bfloat16):
+    """HBM-resident serving cast: matmul/conv kernels (ndim >= 2) to
+    `dtype`, norm scales/biases and other 1-D params kept f32.
+
+    On a 16 GB v5e chip the f32 SDXL stack (~14 GB: 2.6B UNet + bigG tower)
+    does not leave working room — bf16 weights are the production layout,
+    and they halve the per-pass weight HBM traffic for every backbone.
+    The golden-comparison path keeps f32 storage (tests vs diffusers)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if getattr(x, "ndim", 0) >= 2 and x.dtype == jnp.float32
+        else x,
+        params,
+    )
+
+
 def save_params(params, path: str):
     """Serialise a converted param tree to msgpack (metric encoders cache)."""
     import flax.serialization

@@ -124,6 +124,31 @@ def test_harness_end_to_end(tmp_path):
     assert osp.exists(tmp_path / "generated_results_freefine_2d.json")
 
 
+@pytest.mark.slow
+def test_harness_end_to_end_batched(tmp_path):
+    """batch_size=2 over 3 cases: one full group + one padded tail group,
+    through BatchedFreeFine with the exact 2D protocol args."""
+    from freefine_tpu.config import tiny_pipeline_config
+    from freefine_tpu.parallel.harness import run_geobench_inference
+    from freefine_tpu.pipeline import FreeFine
+
+    ann, _ = _mini_annotations(tmp_path, n_da=1, n_ins=1, n_edit=3)
+    pipe = FreeFine(config=tiny_pipeline_config(), init_random=True)
+    merged = run_geobench_inference(
+        pipe, ann, str(tmp_path), task="2d",
+        num_step=4, start_step=2, batch_size=2,
+        progress=lambda s: None,
+    )
+    assert merged is not None
+    paths = [
+        v["gen_img_path"]
+        for da in merged.values()
+        for ins in da["instances"].values()
+        for v in ins.values()
+    ]
+    assert len(paths) == 3 and all(osp.exists(p) for p in paths)
+
+
 def test_gaussian_blur_matches_cv2(rng_np):
     cv2 = pytest.importorskip("cv2")
     from freefine_tpu.parallel.harness import gaussian_blur_mask

@@ -308,3 +308,23 @@ def test_ldm_single_file_conversion(tmp_path):
             np.testing.assert_array_equal(
                 np.asarray(a, np.float32), np.asarray(b, np.float32)
             )
+
+
+def test_cast_params_for_inference():
+    """bf16 serving cast: >=2-D f32 kernels cast, 1-D (norm scale/bias)
+    and non-f32 leaves untouched."""
+    import jax.numpy as jnp
+
+    tree = {
+        "kernel": np.ones((4, 4), np.float32),
+        "bias": np.ones((4,), np.float32),
+        "scale": np.ones((4,), np.float32),
+        "table": np.ones((2, 3, 4), np.float32),
+        "ids": np.ones((4, 4), np.int32),
+    }
+    out = W.cast_params_for_inference(jax.tree_util.tree_map(jnp.asarray, tree))
+    assert out["kernel"].dtype == jnp.bfloat16
+    assert out["table"].dtype == jnp.bfloat16
+    assert out["bias"].dtype == jnp.float32
+    assert out["scale"].dtype == jnp.float32
+    assert out["ids"].dtype == jnp.int32
