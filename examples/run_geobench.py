@@ -39,6 +39,11 @@ def main():
                          "reference is locked to 1)")
     ap.add_argument("--inp-img-dir", default=None,
                     help="blended inpainted backgrounds (inp_img_blended/)")
+    ap.add_argument("--weights-dtype", choices=["bf16", "f32"],
+                    default="bf16",
+                    help="param storage dtype after checkpoint load "
+                         "(bf16 = the serving layout, halves weight HBM "
+                         "traffic; f32 = the golden-comparison layout)")
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
 
@@ -63,6 +68,10 @@ def main():
         from freefine_tpu.weights import load_sd15
 
         pipe.params = load_sd15(pipe, args.checkpoint)
+    if args.weights_dtype == "bf16":
+        from freefine_tpu.weights import cast_params_for_inference
+
+        pipe.params = cast_params_for_inference(pipe.params)
 
     if args.task == "bggen":
         ann = os.path.join(args.dst_base, f"annotations_{args.bench}.json")

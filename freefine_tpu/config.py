@@ -32,6 +32,16 @@ class UNetConfig:
     # attention head *count* per block resolution; SD-1.5 uses 8 heads at
     # every attention layer (head_dim = channels / 8).
     num_attention_heads: int = 8
+    # Per-level head derivation (diffusers' SDXL/SD-2.x convention): when
+    # set, a level's head count is block_out_channels[level] // head_dim
+    # (SDXL: 64 -> heads (5, 10, 20)); when None, num_attention_heads is
+    # used at every level.  Weight shapes are identical either way — only
+    # the softmax head partitioning differs — so this is invisible to the
+    # key/shape manifests and MUST be set correctly per architecture.
+    head_dim: Optional[int] = None
+    # Dense (True) vs 1x1-conv (False) transformer proj_in/proj_out
+    # (diffusers use_linear_projection; True for SDXL and SD-2.x).
+    use_linear_projection: bool = False
     cross_attention_dim: int = 768
     # Which down blocks carry cross/self attention (SD-1.5: first three).
     down_block_has_attn: Tuple[bool, ...] = (True, True, True, False)
@@ -89,6 +99,9 @@ class CLIPTextConfig:
     num_layers: int = 12
     num_heads: int = 12
     max_length: int = 77
+    # MLP activation: "quick_gelu" (OpenAI CLIP / SD-1.5) or "gelu"
+    # (the OpenCLIP-derived SD-2.x text tower).
+    activation: str = "quick_gelu"
     dtype: jnp.dtype = jnp.bfloat16
 
 
@@ -173,12 +186,13 @@ def sdxl_unet_config(dtype=None) -> UNetConfig:
         sample_size=128,
         block_out_channels=(320, 640, 1280),
         layers_per_block=2,
-        num_attention_heads=8,  # head_dim 64 via channels/heads per level
+        head_dim=64,  # per-level heads (5, 10, 20) — diffusers SDXL config
         cross_attention_dim=2048,
         down_block_has_attn=(False, True, True),
         up_block_has_attn=(True, True, False),
         transformer_depth=(1, 2, 10),
         addition_embed_dim=2816,
+        use_linear_projection=True,
         dtype=dtype or jnp.bfloat16,
     )
 
@@ -220,6 +234,7 @@ def tiny_sdxl_pipeline_config(height: int = 64, width: int = 64) -> PipelineConf
         up_block_has_attn=(True, True, False),
         transformer_depth=(1, 2, 2),
         addition_embed_dim=32 + 6 * 256,
+        use_linear_projection=True,
         norm_num_groups=8,
         dtype=jnp.float32,
     )
@@ -240,6 +255,39 @@ def tiny_sdxl_pipeline_config(height: int = 64, width: int = 64) -> PipelineConf
     )
     return PipelineConfig(
         unet=unet, vae=vae, text=text, text2=text2, height=height, width=width
+    )
+
+
+def sd21_pipeline_config(
+    height: int = 768, width: int = 768, dtype: Optional[jnp.dtype] = None
+) -> PipelineConfig:
+    """Stable Diffusion 2.1 (stabilityai/stable-diffusion-2-1) — the DIFT
+    featurizer backbone of the reference's MD metric
+    (evaluation/metrics/MD/dift_sd.py loads SD-2.1; mean_distance.py:132).
+
+    Same block layout as SD-1.5 but: 1024-d cross-attention (OpenCLIP-H
+    derived 23-layer gelu text tower), head_dim=64 per-level heads
+    (5, 10, 20, 20), and linear transformer projections."""
+    dtype = dtype or jnp.bfloat16
+    return PipelineConfig(
+        unet=UNetConfig(
+            sample_size=height // 8,
+            cross_attention_dim=1024,
+            head_dim=64,
+            use_linear_projection=True,
+            dtype=dtype,
+        ),
+        vae=VAEConfig(dtype=dtype),
+        text=CLIPTextConfig(
+            hidden_size=1024,
+            intermediate_size=4096,
+            num_layers=23,
+            num_heads=16,
+            activation="gelu",
+            dtype=dtype,
+        ),
+        height=height,
+        width=width,
     )
 
 

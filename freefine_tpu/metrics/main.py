@@ -86,9 +86,12 @@ def main(argv=None):
                         help="MD: orbax SD checkpoint dir (pipeline."
                              "save_pipeline), or 'random' for a smoke run "
                              "with randomly initialised weights")
-    parser.add_argument("--sd-config", default="sd15", choices=["sd15", "tiny"],
+    parser.add_argument("--sd-config", default="sd21",
+                        choices=["sd21", "sd15", "tiny"],
                         help="MD: pipeline config for the DIFT backbone "
-                             "(tiny is for tests/smoke runs)")
+                             "(sd21 matches the reference MD/dift_sd.py, "
+                             "which loads stable-diffusion-2-1; tiny is "
+                             "for tests/smoke runs)")
     parser.add_argument("--md-corr-dir", default=None,
                         help="MD: dir of 3D ground-truth correspondence "
                              ".npy files (default: derived from the "
@@ -197,13 +200,17 @@ def main(argv=None):
         else:
             import os.path as _osp
 
-            from freefine_tpu.config import sd15_pipeline_config, tiny_pipeline_config
+            from freefine_tpu.config import (
+                sd15_pipeline_config, sd21_pipeline_config,
+                tiny_pipeline_config,
+            )
             from freefine_tpu.metrics.md import compute_md, default_corr_path
             from freefine_tpu.ops.dift import make_sd_featurizer
             from freefine_tpu.pipeline import FreeFine, load_pipeline_params
 
-            cfg = (tiny_pipeline_config() if args.sd_config == "tiny"
-                   else sd15_pipeline_config())
+            cfg = {"tiny": tiny_pipeline_config,
+                   "sd15": sd15_pipeline_config,
+                   "sd21": sd21_pipeline_config}[args.sd_config]()
             pipe = FreeFine(config=cfg, init_random=True,
                             tokenizer_path=args.weights_dir)
             if args.sd_params != "random":

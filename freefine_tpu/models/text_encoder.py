@@ -45,13 +45,18 @@ class CLIPAttention(nn.Module):
 class CLIPMLP(nn.Module):
     intermediate: int
     dtype: jnp.dtype = jnp.bfloat16
+    activation: str = "quick_gelu"
 
     @nn.compact
     def __call__(self, x):
         dim = x.shape[-1]
         h = nn.Dense(self.intermediate, dtype=self.dtype, name="fc1")(x)
-        # QuickGELU: x * sigmoid(1.702 x)
-        h = h * jax.nn.sigmoid(1.702 * h)
+        if self.activation == "gelu":
+            # exact (erf) GELU — the SD-2.x OpenCLIP-derived text tower
+            h = jax.nn.gelu(h, approximate=False)
+        else:
+            # QuickGELU: x * sigmoid(1.702 x) — OpenAI CLIP / SD-1.5
+            h = h * jax.nn.sigmoid(1.702 * h)
         return nn.Dense(dim, dtype=self.dtype, name="fc2")(h)
 
 
@@ -59,13 +64,14 @@ class CLIPEncoderLayer(nn.Module):
     heads: int
     intermediate: int
     dtype: jnp.dtype = jnp.bfloat16
+    activation: str = "quick_gelu"
 
     @nn.compact
     def __call__(self, x, causal_mask):
         x = x + CLIPAttention(self.heads, self.dtype, name="self_attn")(
             LayerNorm32(name="layer_norm1")(x), causal_mask
         )
-        x = x + CLIPMLP(self.intermediate, self.dtype, name="mlp")(
+        x = x + CLIPMLP(self.intermediate, self.dtype, self.activation, name="mlp")(
             LayerNorm32(name="layer_norm2")(x)
         )
         return x
@@ -100,7 +106,7 @@ class CLIPTextEncoder(nn.Module):
         for i in range(n):
             x = CLIPEncoderLayer(
                 cfg.num_heads, cfg.intermediate_size, cfg.dtype,
-                name=f"layers_{i}",
+                cfg.activation, name=f"layers_{i}",
             )(x, causal)
         if penultimate:
             return x

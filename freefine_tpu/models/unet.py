@@ -97,13 +97,21 @@ class UNet2DCondition(nn.Module):
             )(a)
             temb = temb + a
 
-        heads = cfg.num_attention_heads
         num_blocks = len(cfg.block_out_channels)
         attn_index = 0  # transformer-block counter in execution order
 
-        use_linear = cfg.addition_embed_dim is not None  # SDXL convention
+        use_linear = cfg.use_linear_projection
 
         def make_transformer(name, level):
+            # diffusers per-level head counts: SDXL/SD-2.x fix head_dim=64
+            # (heads = channels // 64 at each level); SD-1.5 fixes the head
+            # COUNT at 8 everywhere.  Same weight shapes, different softmax
+            # grouping — real-checkpoint parity depends on this.
+            heads = (
+                cfg.block_out_channels[level] // cfg.head_dim
+                if cfg.head_dim is not None
+                else cfg.num_attention_heads
+            )
             return SpatialTransformer(
                 heads=heads,
                 norm_num_groups=cfg.norm_num_groups,

@@ -372,6 +372,11 @@ def load_sd15(pipe, checkpoint_dir: str, dtype: Optional[jnp.dtype] = None) -> d
     `pipe` is a `freefine_tpu.pipeline.FreeFine` built with
     `init_random=True` (its random tree supplies structure + shapes).
     Expects `checkpoint_dir/{unet,vae,text_encoder}/*.safetensors`.
+
+    The conversion is tree-driven, so the same function loads any
+    single-encoder diffusers SD layout — including SD-2.1 (the MD
+    metric's DIFT backbone) with a `sd21_pipeline_config()` pipe; the
+    expected key+shape sets are pinned by tests/test_weight_manifest.py.
     """
     unet_t = _load_safetensors_dir(os.path.join(checkpoint_dir, "unet"))
     vae_t = _load_safetensors_dir(os.path.join(checkpoint_dir, "vae"))

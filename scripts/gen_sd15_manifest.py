@@ -78,7 +78,8 @@ def _transformer(prefix, ch, ctx=768, depth=1, linear_proj=False):
     return ks
 
 
-def unet_manifest(block_out=(320, 640, 1280, 1280), ctx=768):
+def unet_manifest(block_out=(320, 640, 1280, 1280), ctx=768,
+                  linear_proj=False):
     temb = block_out[0] * 4
     ks = {
         "conv_in.weight": (block_out[0], 4, 3, 3),
@@ -101,7 +102,8 @@ def unet_manifest(block_out=(320, 640, 1280, 1280), ctx=768):
             ks.update(_res(f"down_blocks.{i}.resnets.{j}", cin, out, temb))
             if i < n - 1:
                 ks.update(
-                    _transformer(f"down_blocks.{i}.attentions.{j}", out, ctx)
+                    _transformer(f"down_blocks.{i}.attentions.{j}", out, ctx,
+                                 linear_proj=linear_proj)
                 )
         if i < n - 1:
             ks[f"down_blocks.{i}.downsamplers.0.conv.weight"] = (out, out, 3, 3)
@@ -111,7 +113,8 @@ def unet_manifest(block_out=(320, 640, 1280, 1280), ctx=768):
     m = block_out[-1]
     ks.update(_res("mid_block.resnets.0", m, m, temb))
     ks.update(_res("mid_block.resnets.1", m, m, temb))
-    ks.update(_transformer("mid_block.attentions.0", m, ctx))
+    ks.update(_transformer("mid_block.attentions.0", m, ctx,
+                           linear_proj=linear_proj))
     # up path: UpBlock2D + CrossAttn x (n-1), 3 layers each, skip concat
     rev = list(reversed(block_out))            # (1280, 1280, 640, 320)
     prev = rev[0]
@@ -123,7 +126,8 @@ def unet_manifest(block_out=(320, 640, 1280, 1280), ctx=768):
             ks.update(_res(f"up_blocks.{i}.resnets.{j}", cin, out, temb))
             if i > 0:
                 ks.update(
-                    _transformer(f"up_blocks.{i}.attentions.{j}", out, ctx)
+                    _transformer(f"up_blocks.{i}.attentions.{j}", out, ctx,
+                                 linear_proj=linear_proj)
                 )
         if i < n - 1:
             ks[f"up_blocks.{i}.upsamplers.0.conv.weight"] = (out, out, 3, 3)
@@ -266,7 +270,7 @@ def vae_manifest(block_out=(128, 256, 512, 512), latent=4):
     return ks
 
 
-def text_manifest(layers=12, d=768, vocab=49408, maxlen=77):
+def text_manifest(layers=12, d=768, vocab=49408, maxlen=77, mlp_mult=4):
     ks = {
         "text_model.embeddings.token_embedding.weight": (vocab, d),
         "text_model.embeddings.position_embedding.weight": (maxlen, d),
@@ -281,9 +285,9 @@ def text_manifest(layers=12, d=768, vocab=49408, maxlen=77):
         for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
             ks[f"{p}.self_attn.{proj}.weight"] = (d, d)
             ks[f"{p}.self_attn.{proj}.bias"] = (d,)
-        ks[f"{p}.mlp.fc1.weight"] = (4 * d, d)
-        ks[f"{p}.mlp.fc1.bias"] = (4 * d,)
-        ks[f"{p}.mlp.fc2.weight"] = (d, 4 * d)
+        ks[f"{p}.mlp.fc1.weight"] = (mlp_mult * d, d)
+        ks[f"{p}.mlp.fc1.bias"] = (mlp_mult * d,)
+        ks[f"{p}.mlp.fc2.weight"] = (d, mlp_mult * d)
         ks[f"{p}.mlp.fc2.bias"] = (d,)
     return ks
 
@@ -302,3 +306,10 @@ if __name__ == "__main__":
     write(vae_manifest(), os.path.join(outdir, "sd15_vae_keys.txt"))
     write(text_manifest(), os.path.join(outdir, "sd15_text_keys.txt"))
     write(sdxl_unet_manifest(), os.path.join(outdir, "sdxl_unet_keys.txt"))
+    # SD-2.1 (stabilityai/stable-diffusion-2-1): the DIFT/MD featurizer
+    # backbone — SD-1.5 block layout with 1024-d context, linear
+    # projections, and a 23-layer d=1024 OpenCLIP-derived text tower.
+    write(unet_manifest(ctx=1024, linear_proj=True),
+          os.path.join(outdir, "sd21_unet_keys.txt"))
+    write(text_manifest(layers=23, d=1024),
+          os.path.join(outdir, "sd21_text_keys.txt"))

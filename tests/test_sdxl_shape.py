@@ -18,6 +18,54 @@ def test_sdxl_config_shape():
     assert cfg.addition_embed_dim == 2816
 
 
+def test_sdxl_head_partitioning():
+    """SDXL fixes head_dim=64 -> per-level heads (5, 10, 20); SD-1.5 fixes
+    the head COUNT at 8.  Weight shapes are identical either way, so only
+    this pin (not the key/shape manifests) guards the softmax grouping that
+    real-checkpoint parity depends on (diffusers SDXL-base unet config:
+    attention_head_dim=[5, 10, 20], use_linear_projection=true)."""
+    from freefine_tpu.config import sd15_pipeline_config
+
+    cfg = sdxl_unet_config()
+    assert cfg.head_dim == 64 and cfg.use_linear_projection
+    assert tuple(c // cfg.head_dim for c in cfg.block_out_channels) == (5, 10, 20)
+
+    sd15 = sd15_pipeline_config().unet
+    assert sd15.head_dim is None and sd15.num_attention_heads == 8
+    assert not sd15.use_linear_projection
+
+
+def test_head_dim_forward_tiny():
+    """head_dim-derived per-level heads actually run: (32,64,128)//16 ->
+    (2, 4, 8) heads, and the partitioning changes the output vs a fixed
+    head count with identical weights."""
+    cfg = UNetConfig(
+        sample_size=8,
+        block_out_channels=(32, 64, 128),
+        layers_per_block=1,
+        head_dim=16,
+        cross_attention_dim=32,
+        down_block_has_attn=(False, True, True),
+        up_block_has_attn=(True, True, False),
+        transformer_depth=(1, 1, 1),
+        use_linear_projection=True,
+        norm_num_groups=8,
+        dtype=jnp.float32,
+    )
+    model = UNet2DCondition(config=cfg)
+    sample = jnp.ones((1, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.key(1), (1, 77, 32))
+    params = model.init(jax.random.key(0), sample, jnp.int32(1), ctx)
+    out = model.apply(params, sample, jnp.int32(10), ctx)
+    assert out.shape == (1, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # same weights, fixed 2 heads everywhere -> different softmax grouping
+    cfg2 = dataclasses.replace(cfg, head_dim=None, num_attention_heads=2)
+    out2 = UNet2DCondition(config=cfg2).apply(params, sample, jnp.int32(10), ctx)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
 @pytest.mark.slow
 def test_sdxl_topology_tiny_forward():
     """A scaled-down SDXL topology (3 levels, depths (1,2,3), added cond,
@@ -32,6 +80,7 @@ def test_sdxl_topology_tiny_forward():
         up_block_has_attn=(True, True, False),
         transformer_depth=(1, 2, 3),
         addition_embed_dim=24,
+        use_linear_projection=True,
         norm_num_groups=8,
         dtype=jnp.float32,
     )
