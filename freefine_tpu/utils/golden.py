@@ -87,6 +87,72 @@ def compare_golden(
     return report
 
 
+def compare_golden_sdxl(
+    pipe,
+    golden,
+    atol_max: float = 5e-2,
+    atol_mean: float = 5e-3,
+) -> Dict[str, Dict]:
+    """SDXL golden replay (see validate_against_diffusers.dump_sdxl):
+    both text towers from the golden token ids (penultimate hidden states
+    concat + bigG pooled projection), the UNet with added conditioning
+    rebuilt from the golden (pooled, time_ids), and the 0.13025-scaled VAE.
+
+    Like `compare_golden`, every stage consumes GOLDEN inputs so a failure
+    localises to one converter."""
+    import jax.numpy as jnp
+
+    from freefine_tpu.models.layers import timestep_embedding
+
+    report: Dict[str, Dict] = {}
+
+    ids = jnp.asarray(golden["text_ids"])
+    ids2 = np.asarray(golden["text_ids_2"])
+    eot = jnp.asarray(
+        np.argmax(ids2 == int(golden["eos_token_id"]), axis=1), jnp.int32
+    )
+    h1 = pipe.text_encoder.apply(pipe.params["text"], ids, penultimate=True)
+    h2, pooled = pipe.text_encoder_2.apply(
+        pipe.params["text2"], jnp.asarray(ids2), eot
+    )
+    ctx = jnp.concatenate(
+        [h1.astype(jnp.float32), h2.astype(jnp.float32)], axis=-1
+    )
+    report["text_dual"] = _metrics(ctx, golden["text_emb"],
+                                   atol_max, atol_mean)
+    report["text_pooled"] = _metrics(pooled.astype(jnp.float32),
+                                     golden["pooled"], atol_max, atol_mean)
+
+    # added conditioning exactly as SDXLFreeFine._added_cond builds it,
+    # but from the GOLDEN pooled + time_ids (diffusers runs the Fourier
+    # projection inside the UNet; we pre-fold it)
+    tids = jnp.asarray(golden["time_ids"], jnp.float32).reshape(-1)
+    temb = timestep_embedding(tids, 256).reshape(1, -1)
+    added = jnp.concatenate([jnp.asarray(golden["pooled"]), temb], axis=-1)
+    eps = pipe.unet.apply(
+        pipe.params["unet"],
+        jnp.asarray(golden["unet_in"]),
+        jnp.int32(golden["t"]),
+        jnp.asarray(golden["text_emb"]),
+        added_cond=added,
+    )
+    report["unet"] = _metrics(eps, golden["unet_out"], atol_max, atol_mean)
+
+    lat = pipe.vae.apply(
+        pipe.params["vae"], jnp.asarray(golden["vae_in"]),
+        method=pipe.vae.encode,
+    )
+    report["vae_encode"] = _metrics(lat, golden["vae_latent"],
+                                    atol_max, atol_mean)
+    recon = pipe.vae.apply(
+        pipe.params["vae"], jnp.asarray(golden["vae_latent"]),
+        method=pipe.vae.decode,
+    )
+    report["vae_decode"] = _metrics(recon, golden["vae_recon"],
+                                    atol_max, atol_mean)
+    return report
+
+
 def dump_golden_from_pipe(pipe, out_path: str, prompt: str, seed: int = 0):
     """Produce a golden npz FROM a freefine pipeline (the self-consistency
     path used by tests, and a way to golden-pin our own numerics across
