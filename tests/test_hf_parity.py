@@ -19,6 +19,44 @@ from freefine_tpu import weights as W  # noqa: E402
 
 
 @pytest.mark.slow
+def test_clip_text_gelu_parity_vs_transformers():
+    """The SD-2.x text tower variant: hidden_act='gelu' (exact erf GELU).
+
+    Pins CLIPTextConfig.activation='gelu' against torch at tiny scale —
+    the sd21 manifests pin shapes, this pins the math."""
+    from transformers import CLIPTextConfig as HFCfg
+    from transformers import CLIPTextModel
+
+    from freefine_tpu.config import CLIPTextConfig
+    from freefine_tpu.models.text_encoder import CLIPTextEncoder
+
+    hf_cfg = HFCfg(
+        vocab_size=99, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2,
+        max_position_embeddings=77, hidden_act="gelu",
+    )
+    torch.manual_seed(0)
+    hf = CLIPTextModel(hf_cfg).eval()
+    tensors = {k: v.numpy() for k, v in hf.state_dict().items()}
+
+    cfg = CLIPTextConfig(
+        vocab_size=99, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=2, activation="gelu", dtype=jnp.float32,
+    )
+    model = CLIPTextEncoder(cfg)
+    ids = np.random.default_rng(1).integers(0, 99, (2, 77)).astype(np.int32)
+    params = model.init(jax.random.key(0), jnp.asarray(ids))
+    params = {"params": W._convert_tree(
+        params["params"], tensors, key_rewrites=W._TEXT_REWRITES
+    )}
+
+    with torch.no_grad():
+        want = hf(torch.tensor(ids.astype(np.int64))).last_hidden_state.numpy()
+    got = np.asarray(model.apply(params, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.slow
 def test_clip_text_parity_vs_transformers():
     from transformers import CLIPTextConfig as HFCfg
     from transformers import CLIPTextModel
