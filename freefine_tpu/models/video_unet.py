@@ -38,7 +38,7 @@ from freefine_tpu.models.layers import (
     TimestepEmbed,
     timestep_embedding,
 )
-from freefine_tpu.ops.attention import sdpa
+from freefine_tpu.ops.attention import masked_sdpa, sdpa
 
 
 @dataclasses.dataclass(frozen=True)
@@ -221,8 +221,10 @@ class VideoSpatialTransformer(nn.Module):
         q = nn.Dense(c, use_bias=False, dtype=self.dtype, name="attn1_to_q")(y)
         k = nn.Dense(c, use_bias=False, dtype=self.dtype, name="attn1_to_k")(y)
         v = nn.Dense(c, use_bias=False, dtype=self.dtype, name="attn1_to_v")(y)
+        # masked_sdpa: at SV3D geometry (72x72 = 5184 tokens x 21 frames)
+        # dense S^2 logits exceed HBM; the padded flash path keeps it O(S)
         h = h + nn.Dense(c, dtype=self.dtype, name="attn1_to_out")(
-            sdpa(q, k, v, self.heads)
+            masked_sdpa(q, k, v, self.heads)
         )
         # cross-attention to the CLIP image context
         y = LayerNorm32(name="norm2")(h)

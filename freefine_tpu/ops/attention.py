@@ -184,13 +184,26 @@ def masked_sdpa(
     Routes to the Pallas flash kernel on TPU (O(S) memory, fused bias),
     einsum elsewhere — both numerically equivalent (golden-tested).
     """
-    if _use_flash(q.shape[1], k.shape[1]):
+    sq, sk = q.shape[1], k.shape[1]
+    pad_q, pad_k = (-sq) % 128, (-sk) % 128
+    if _use_flash(sq + pad_q, sk + pad_k):
         from freefine_tpu.ops.flash_attention import flash_sdpa_diff
 
         rows = (
-            jnp.ones((q.shape[0], k.shape[1]), jnp.float32)
+            jnp.ones((q.shape[0], sk), jnp.float32)
             if key_rows is None else key_rows
         )
+        if pad_q or pad_k:
+            # Non-128-multiple sequences (e.g. SV3D's 72x72 = 5184 spatial
+            # tokens) ride the flash kernel too: pad to the lane multiple,
+            # mask the padded keys via the kernel's per-key rows, slice the
+            # padded queries back off.  O(S) memory either way — the dense
+            # einsum fallback at these lengths materialises S^2 logits.
+            q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
+            k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0)))
+            rows = jnp.pad(rows, ((0, 0), (0, pad_k)))
+            return flash_sdpa_diff(q, k, v, rows, heads)[:, :sq]
         # the differentiable variant (custom VJP) so jax.grad works through
         # the kernel (energy guidance); forward math is identical
         return flash_sdpa_diff(q, k, v, rows, heads)

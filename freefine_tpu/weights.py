@@ -512,6 +512,9 @@ def convert_open_clip_text(flax_params, tensors, prefix="text.", dtype=None):
         else:
             # resblocks.N.(in_proj|out_proj|mlp_fc|mlp_proj|ln_1|ln_2)
             k2 = key.replace("resblocks.", f"{prefix}transformer.resblocks.")
+            # _module_to_diffusers splits trailing digits (ln_1 -> ln.1), but
+            # open_clip's real module names keep the underscore
+            k2 = k2.replace(".ln.1", ".ln_1").replace(".ln.2", ".ln_2")
             k2 = k2.replace(".in_proj", ".attn.in_proj")
             k2 = k2.replace(".out_proj", ".attn.out_proj")
             k2 = k2.replace(".mlp_fc", ".mlp.c_fc")

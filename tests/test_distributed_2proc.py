@@ -50,6 +50,11 @@ def test_allgather_results_two_processes(tmp_path):
     addr = f"localhost:{_free_port()}"
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # no virtual-device fan-out in the workers
+    # the worker script lives in tmp_path, so Python puts THAT (not cwd) on
+    # sys.path — the repo root must be added explicitly for freefine_tpu
+    env["PYTHONPATH"] = "/root/repo" + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(i), addr],

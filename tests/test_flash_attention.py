@@ -259,3 +259,43 @@ def test_flash_sdpa_vjp_unmasked(qkv, rng_np):
     gq = jax.grad(loss_flash)(q)
     rq = jax.grad(loss_ref)(q)
     np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), atol=3e-4)
+
+
+def test_masked_sdpa_padded_nonmultiple_seq(rng_np, monkeypatch):
+    """Non-128-multiple sequences route through the flash kernel by
+    pad-and-mask (the SV3D 72x72=5184-token case) and match einsum, both
+    self-shaped and cross-shaped, with and without a user key mask."""
+    monkeypatch.setattr(A, "FLASH_MODE", "1")
+    q = jnp.asarray(rng_np.normal(size=(2, 272, DIM)).astype(np.float32))
+    k = jnp.asarray(rng_np.normal(size=(2, 200, DIM)).astype(np.float32))
+    v = jnp.asarray(rng_np.normal(size=(2, 200, DIM)).astype(np.float32))
+
+    got = A.masked_sdpa(q, k, v, HEADS)
+    want = A.sdpa(q, k, v, HEADS)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    rows = jnp.asarray((rng_np.random((2, 200)) > 0.4).astype(np.float32))
+    got = A.masked_sdpa(q, k, v, HEADS, key_rows=rows)
+    want = A.sdpa(q, k, v, HEADS, A.key_bias(rows))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_masked_sdpa_padded_grads_match(rng_np, monkeypatch):
+    """Gradients flow through the pad-and-mask flash route and agree with
+    the einsum path (padded keys/queries get zero contribution)."""
+    monkeypatch.setattr(A, "FLASH_MODE", "1")
+    q = jnp.asarray(rng_np.normal(size=(1, 136, DIM)).astype(np.float32))
+    k = jnp.asarray(rng_np.normal(size=(1, 136, DIM)).astype(np.float32))
+    v = jnp.asarray(rng_np.normal(size=(1, 136, DIM)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(A.masked_sdpa(q, k, v, HEADS) ** 2)
+
+    def loss_einsum(q, k, v):
+        return jnp.sum(A.sdpa(q, k, v, HEADS) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    ge = jax.grad(loss_einsum, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, ge):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)

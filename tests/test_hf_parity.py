@@ -269,3 +269,178 @@ def test_clip_tokenizer_parity_vs_transformers(tmp_path):
                   truncation=True)["input_ids"]
         got = ours.encode(p).tolist()
         assert got == want, (p, got[:12], want[:12])
+
+
+@pytest.mark.slow
+def test_image_reward_blip_parity_vs_transformers():
+    """Full ImageReward scoring path (BLIP ViT -> cross BERT -> MLP head)
+    vs transformers' BlipVisionModel + BlipTextModel.
+
+    transformers' BLIP modules are a direct port of the BLIP med.py /
+    timm-ViT stack ImageReward builds on (reference
+    evaluation/metrics/image_reward.py loads ImageReward-v1.0), so forward
+    agreement here pins both our architecture (incl. the absence of
+    token-type embeddings and the cross-attention-on-every-layer layout)
+    and `weights.convert_blip_image_reward`'s key mapping.  The MLP head +
+    released normalisation constants are recomputed in numpy."""
+    from transformers import BlipTextConfig, BlipVisionConfig
+    from transformers.models.blip.modeling_blip import BlipVisionModel
+    from transformers.models.blip.modeling_blip_text import BlipTextModel
+
+    from freefine_tpu.models.blip import IR_MEAN, IR_STD, BlipConfig, ImageReward
+
+    vcfg = BlipVisionConfig(
+        hidden_size=32, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=2, image_size=32, patch_size=16,
+        layer_norm_eps=1e-6,  # timm/BLIP ViT eps (our LayerNorm32(1e-6))
+    )
+    tcfg = BlipTextConfig(
+        hidden_size=24, intermediate_size=48, num_hidden_layers=2,
+        num_attention_heads=2, vocab_size=99, encoder_hidden_size=32,
+        is_decoder=True,  # config flag only creates the cross-attn modules;
+        layer_norm_eps=1e-12,  # the forward below runs bidirectional
+    )
+    torch.manual_seed(0)
+    hf_v = BlipVisionModel(vcfg).eval()
+    hf_t = BlipTextModel(tcfg, add_pooling_layer=False).eval()
+
+    # Rebuild the ImageReward-v1.0 checkpoint naming the converter expects:
+    # vision in timm style under blip.visual_encoder., text (already med.py
+    # naming) under blip.text_encoder., MLP head as mlp.layers.{0,2,4,6,8}.
+    tensors = {}
+    for k, t in hf_v.state_dict().items():
+        a = t.numpy()
+        k = (k.replace("embeddings.patch_embedding", "patch_embed.proj")
+              .replace("encoder.layers.", "blocks.")
+              .replace(".self_attn.qkv", ".attn.qkv")
+              .replace(".self_attn.projection", ".attn.proj")
+              .replace(".layer_norm1", ".norm1")
+              .replace(".layer_norm2", ".norm2")
+              .replace("post_layernorm", "norm"))
+        if k == "embeddings.class_embedding":
+            k, a = "cls_token", a.reshape(1, 1, -1)
+        elif k == "embeddings.position_embedding":
+            k = "pos_embed"
+        tensors[f"blip.visual_encoder.{k}"] = a
+    for k, t in hf_t.state_dict().items():
+        tensors[f"blip.text_encoder.{k}"] = t.numpy()
+    rng = np.random.default_rng(7)
+    dims = [(1024, 24), (128, 1024), (64, 128), (16, 64), (1, 16)]
+    for i, (o, n) in zip((0, 2, 4, 6, 8), dims):
+        tensors[f"mlp.layers.{i}.weight"] = rng.normal(
+            scale=0.05, size=(o, n)).astype(np.float32)
+        tensors[f"mlp.layers.{i}.bias"] = rng.normal(
+            scale=0.05, size=(o,)).astype(np.float32)
+
+    cfg = BlipConfig(
+        image_size=32, patch_size=16, vision_width=32, vision_layers=2,
+        vision_heads=2, text_width=24, text_layers=2, text_heads=2,
+        text_intermediate=48, vocab_size=99, max_text_len=8,
+        dtype=jnp.float32,
+    )
+    model = ImageReward(cfg)
+    x = np.random.default_rng(2).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    ids = np.random.default_rng(3).integers(0, 99, (2, 8)).astype(np.int32)
+    mask = np.ones((2, 8), np.int32)
+    mask[1, 5:] = 0
+    params = model.init(
+        jax.random.key(0), jnp.asarray(x), jnp.asarray(ids), jnp.asarray(mask)
+    )
+    params = W.convert_blip_image_reward(params, tensors)
+
+    with torch.no_grad():
+        img = hf_v(torch.tensor(x.transpose(0, 3, 1, 2))).last_hidden_state
+        txt = hf_t(
+            input_ids=torch.tensor(ids.astype(np.int64)),
+            attention_mask=torch.tensor(mask.astype(np.int64)),
+            encoder_hidden_states=img,
+            encoder_attention_mask=torch.ones(img.shape[:2], dtype=torch.long),
+            is_decoder=False,
+        ).last_hidden_state.numpy()
+    h = txt[:, 0]
+    for i in (0, 2, 4, 6, 8):
+        h = h @ tensors[f"mlp.layers.{i}.weight"].T + tensors[f"mlp.layers.{i}.bias"]
+        if i < 8:
+            h = np.maximum(h, 0.0)
+    want = (h[:, 0] - IR_MEAN) / IR_STD
+
+    got = np.asarray(model.apply(
+        params, jnp.asarray(x), jnp.asarray(ids), jnp.asarray(mask)
+    ))
+    np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+@pytest.mark.slow
+def test_open_clip_text_parity_vs_transformers():
+    """OpenCLIP text tower (HPSv2.1's ViT-H backbone, plain-GELU variant) vs
+    transformers CLIPTextModelWithProjection with hidden_act='gelu'.
+
+    The two codebases implement the same architecture under different state
+    dict layouts (fused in_proj vs split q/k/v, raw positional_embedding /
+    text_projection params vs Linear modules); this pins both our forward
+    math (causal mask, EOT argmax pooling, bias-free projection) and the
+    open_clip-naming remap in `weights.convert_open_clip_text`."""
+    from transformers import CLIPTextConfig as HFCfg
+    from transformers import CLIPTextModelWithProjection
+
+    from freefine_tpu.models.open_clip_text import (
+        OpenCLIPText, OpenCLIPTextConfig,
+    )
+
+    eos = 98
+    hf_cfg = HFCfg(
+        vocab_size=99, hidden_size=32, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=2,
+        max_position_embeddings=77, hidden_act="gelu", projection_dim=16,
+        eos_token_id=eos,
+    )
+    torch.manual_seed(0)
+    hf = CLIPTextModelWithProjection(hf_cfg).eval()
+
+    # transformers CLIP naming -> open_clip naming (what HPS ckpts use).
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    tensors = {
+        "token_embedding.weight": sd["text_model.embeddings.token_embedding.weight"],
+        "positional_embedding": sd["text_model.embeddings.position_embedding.weight"],
+        "ln_final.weight": sd["text_model.final_layer_norm.weight"],
+        "ln_final.bias": sd["text_model.final_layer_norm.bias"],
+        "text_projection": sd["text_projection.weight"].T,
+    }
+    for i in range(hf_cfg.num_hidden_layers):
+        src = f"text_model.encoder.layers.{i}"
+        dst = f"transformer.resblocks.{i}"
+        tensors[f"{dst}.attn.in_proj_weight"] = np.concatenate(
+            [sd[f"{src}.self_attn.{n}_proj.weight"] for n in ("q", "k", "v")], 0
+        )
+        tensors[f"{dst}.attn.in_proj_bias"] = np.concatenate(
+            [sd[f"{src}.self_attn.{n}_proj.bias"] for n in ("q", "k", "v")], 0
+        )
+        tensors[f"{dst}.attn.out_proj.weight"] = sd[f"{src}.self_attn.out_proj.weight"]
+        tensors[f"{dst}.attn.out_proj.bias"] = sd[f"{src}.self_attn.out_proj.bias"]
+        tensors[f"{dst}.ln_1.weight"] = sd[f"{src}.layer_norm1.weight"]
+        tensors[f"{dst}.ln_1.bias"] = sd[f"{src}.layer_norm1.bias"]
+        tensors[f"{dst}.ln_2.weight"] = sd[f"{src}.layer_norm2.weight"]
+        tensors[f"{dst}.ln_2.bias"] = sd[f"{src}.layer_norm2.bias"]
+        tensors[f"{dst}.mlp.c_fc.weight"] = sd[f"{src}.mlp.fc1.weight"]
+        tensors[f"{dst}.mlp.c_fc.bias"] = sd[f"{src}.mlp.fc1.bias"]
+        tensors[f"{dst}.mlp.c_proj.weight"] = sd[f"{src}.mlp.fc2.weight"]
+        tensors[f"{dst}.mlp.c_proj.bias"] = sd[f"{src}.mlp.fc2.bias"]
+
+    cfg = OpenCLIPTextConfig(
+        vocab_size=99, width=32, heads=2, layers=2, context_length=77,
+        projection_dim=16, dtype=jnp.float32,
+    )
+    model = OpenCLIPText(cfg)
+    # one EOS (= the max id) per row so HF's first-eos pooling and
+    # open_clip's argmax pooling select the same position
+    rng = np.random.default_rng(1)
+    ids = rng.integers(1, eos, (3, 77)).astype(np.int32)
+    for row, pos in enumerate((5, 20, 76)):
+        ids[row, pos] = eos
+    params = model.init(jax.random.key(0), jnp.asarray(ids))
+    params = W.convert_open_clip_text(params, tensors, prefix="")
+
+    with torch.no_grad():
+        want = hf(torch.tensor(ids.astype(np.int64))).text_embeds.numpy()
+    got = np.asarray(model.apply(params, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, want, atol=3e-5)

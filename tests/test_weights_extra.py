@@ -41,6 +41,8 @@ def test_open_clip_text_roundtrip():
             tensors[f"text.ln_final.{W._LEAF_MAP[leaf_str]}"] = t
         else:
             k2 = key.replace("resblocks.", "text.transformer.resblocks.")
+            # real open_clip state dicts keep the underscore in ln_1/ln_2
+            k2 = k2.replace(".ln.1", ".ln_1").replace(".ln.2", ".ln_2")
             k2 = k2.replace(".in_proj", ".attn.in_proj")
             k2 = k2.replace(".out_proj", ".attn.out_proj")
             k2 = k2.replace(".mlp_fc", ".mlp.c_fc")
