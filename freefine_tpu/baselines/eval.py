@@ -195,7 +195,10 @@ def run_geobench_baseline(
                 prompts.append(f"image of {case.get('obj_label', 'object')}")
             case_t0 = time.time()
             outs = runner.drag_batch(
-                items, prompts, seed=seed, max_pts=n_pts, **baseline_kwargs
+                # per-case seeds: every case draws the keys the batch-1
+                # lane uses (reference protocol fixes one seed per case)
+                items, prompts, seed=[seed] * len(items), max_pts=n_pts,
+                **baseline_kwargs
             )
             per_case = (time.time() - case_t0) / len(group)
             for case, out in zip(group, outs):

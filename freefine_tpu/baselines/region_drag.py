@@ -498,8 +498,10 @@ class RegionDrag:
             steps, k, True, n_pts, 0.0
         )
 
-        lat = jnp.stack(
-            [pipe.image_to_latent(it["ori_image"])[0] for it in items]
+        # ONE batched VAE encode ([B,H,W,3] -> [B,lh,lw,4]) instead of B
+        # per-item device calls — same pattern as BatchedFreeFine
+        lat = pipe.image_to_latent(
+            np.stack([np.asarray(it["ori_image"]) for it in items])
         )[:, None]                                     # [B, 1, lh, lw, 4]
         ctx = pipe.encode_text(list(prompts))[:, None]  # [B, 1, 77, D]
 
@@ -512,10 +514,19 @@ class RegionDrag:
             for it in items
         ])
 
-        rng = jax.random.key(seed)
-        r_fwd, r_blur = jax.random.split(rng)
-        rngs_fwd = jax.random.split(r_fwd, nb)
-        rngs_blur = jax.random.split(r_blur, nb)
+        if isinstance(seed, (list, tuple, np.ndarray)):
+            # per-case seeds: case i draws the exact keys `drag(seed[i])`
+            # would — outputs independent of batch composition
+            assert len(seed) == nb, (len(seed), nb)
+            keys = [jax.random.split(jax.random.key(int(s)), 3)[1:]
+                    for s in seed]
+            rngs_fwd = jnp.stack([k[0] for k in keys])
+            rngs_blur = jnp.stack([k[1] for k in keys])
+        else:
+            rng = jax.random.key(seed)
+            r_fwd, r_blur = jax.random.split(rng)
+            rngs_fwd = jax.random.split(r_fwd, nb)
+            rngs_blur = jax.random.split(r_blur, nb)
 
         hooks, noises = fwd_b(pipe.params, lat, ctx, rngs_fwd)
         start_latent = jax.vmap(blur_points, in_axes=(0, 0, None, 0))(

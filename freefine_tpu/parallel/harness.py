@@ -224,7 +224,11 @@ def run_geobench_bggen(
                 guidance_scale=guidance_scale, eta=eta, end_step=end_step,
                 num_step=num_step, start_step=start_step,
                 end_scale=end_scale,
-                seed=_instance_seed(seed, group[0]["da_n"], group[0]["ins_id"]),
+                # per-case seeds: each instance's background is bit-identical
+                # to the batch-1 lane's, independent of group composition
+                # (tail padding repeats the last instance's seed too)
+                seed=[_instance_seed(seed, it["da_n"], it["ins_id"])
+                      for it in group],
             )
             for it, (ori, dil), out in zip(
                 my[b0: b0 + batch_size], loaded, outs
@@ -409,7 +413,9 @@ def run_geobench_inference(
                 num_step=num_step, start_step=start_step,
                 end_step=num_step, end_scale=0.0, method_type="tca",
                 use_auto_draw=(task != "3d"), reduce_inp_artifacts=True,
-                seed=seed,
+                # every case gets key(seed) — the exact RNG the batch-1
+                # protocol lane uses (reference fixes seed=42 per case)
+                seed=[seed] * len(padded),
             )
             per_case = (time.time() - group_t0) / len(group)
             for case, out in zip(group, outs):

@@ -936,6 +936,20 @@ def _stack_masks_np(masks, h: int, w: int) -> np.ndarray:
     return np.stack(out)
 
 
+def _case_rngs(seed, n: int) -> jnp.ndarray:
+    """Per-case RNG keys for the batched lanes.
+
+    A sequence of seeds gives case i exactly `jax.random.key(seed[i])` —
+    the key the single-case pipeline uses — so a case's output is
+    bit-identical whether it runs alone or inside any batch (and across
+    resume boundaries, where group composition changes).  A scalar keeps
+    the legacy split-from-one-key behaviour."""
+    if isinstance(seed, (list, tuple, np.ndarray)):
+        assert len(seed) == n, (len(seed), n)
+        return jnp.stack([jax.random.key(int(s)) for s in seed])
+    return jax.random.split(jax.random.key(seed), n)
+
+
 class _NullTimer:
     """StageTimer-compatible no-op (profiling off by default)."""
 
@@ -1072,7 +1086,7 @@ class BatchedFreeFine:
             pipe._jit_cache[key] = jax.jit(
                 jax.vmap(case_fn, in_axes=(None, 0, 0, 0, 0, None, None, 0, 0, 0))
             )
-        rngs = jax.random.split(jax.random.key(seed), n)
+        rngs = _case_rngs(seed, n)
         with tm.stage("edit"):
             out = pipe._jit_cache[key](
                 pipe.params, lat2, text2, text3,
@@ -1158,7 +1172,7 @@ class BatchedFreeFine:
             pipe._jit_cache[key] = jax.jit(
                 jax.vmap(case_fn, in_axes=(None, 0, 0, 0, 0, None, None, 0, 0, 0))
             )
-        rngs = jax.random.split(jax.random.key(seed), n)
+        rngs = _case_rngs(seed, n)
         with tm.stage("edit"):
             out = pipe._jit_cache[key](
                 pipe.params, lat1, text1, text3,
@@ -1282,7 +1296,7 @@ class BatchedFreeFine:
                 jax.vmap(case_fn,
                          in_axes=(None, 0, 0, 0, 0, 0, None, None, 0, 0, 0))
             )
-        rngs = jax.random.split(jax.random.key(seed), n)
+        rngs = _case_rngs(seed, n)
         text_inv = jnp.broadcast_to(
             uncond[None, None], (n, ns + 1) + uncond.shape
         )

@@ -4,7 +4,7 @@
 
     python scripts/run_full_eval.py --dst-base /data/GeoBenchMeta \
         [--checkpoint /path/sd15] [--stages bggen2d,2d,bggen3d,author3d,3d] \
-        [--metrics 000011100] [--max-cases N] [--tiny]
+        [--metrics 000001100] [--max-cases N] [--tiny]
 
 Stages (comma list, default all):
   bggen2d   backgrounds for the 2D bench (inp_img_blended/)

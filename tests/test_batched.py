@@ -109,3 +109,35 @@ def test_batched_background_generation():
     assert len(outs) == 2
     assert outs[0].shape == (h, w, 3) and outs[0].dtype == np.uint8
     assert not np.array_equal(outs[0], outs[1])
+
+
+@pytest.mark.slow
+def test_batched_per_case_seeds_composition_invariant():
+    """With per-case seeds, a case's output does not depend on WHICH other
+    cases share its batch (the property the eval harness relies on for
+    reproducible resumes: a group's composition changes across resume
+    boundaries but each instance keeps its own seed)."""
+    pipe = FreeFine(config=tiny_pipeline_config(), init_random=True)
+    batched = BatchedFreeFine(pipe)
+    h = w = pipe.config.height
+
+    def mk_case(seed):
+        r = np.random.default_rng(seed)
+        img = r.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        coarse = r.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        m = np.zeros((h, w), np.uint8); m[8:24, 8:24] = 255
+        tm = np.zeros((h, w), np.uint8); tm[16:32, 16:32] = 255
+        return dict(ori_img=img, ori_mask=m, coarse_input=coarse,
+                    target_mask=tm, guidance_text="a cat")
+
+    c0, c1, c2 = mk_case(1), mk_case(2), mk_case(3)
+    kw = dict(num_step=4, start_step=2, end_step=1)
+    a = batched.generation([c0, c1], seed=[5, 7], **kw)
+    b = batched.generation([c0, c2], seed=[5, 11], **kw)
+    np.testing.assert_array_equal(a[0], b[0])
+    # same seed twice on identical cases -> identical outputs
+    c = batched.generation([c0, c0], seed=[5, 5], **kw)
+    np.testing.assert_array_equal(c[0], c[1])
+    # scalar seed keeps the legacy split-one-key behaviour (positional rngs)
+    d = batched.generation([c0, c1], seed=5, **kw)
+    assert not np.array_equal(a[0], d[0])

@@ -168,6 +168,13 @@ def test_drag_batch_matches_vmapped_lanes():
         assert o.shape == (h, w, 3) and o.dtype == np.uint8
         np.testing.assert_array_equal(o, o2)
 
+    # per-case seeds: a case's output is independent of batch composition
+    a = rd.drag_batch(items, ["p1", "p2"], seed=[5, 7], steps=4,
+                      start_t=0.5, end_t=0.25)
+    b = rd.drag_batch([items[0], items[0]], ["p1", "p1"], seed=[5, 9],
+                      steps=4, start_t=0.5, end_t=0.25)
+    np.testing.assert_array_equal(a[0], b[0])
+
 
 @pytest.mark.slow
 def test_baseline_eval_region_drag_batched(tmp_path):
