@@ -37,6 +37,26 @@ from freefine_tpu.data.geobench import (
 from freefine_tpu.ops.geometry import re_edit_2d
 
 
+def _prefetch(items, fn, depth: int = 2):
+    """Yield `fn(item)` in order, computing up to `depth` items ahead on a
+    background thread, so host-side case loading (PNG decode + the native
+    C++ resize/dilate, all GIL-releasing) overlaps the device's edit scan.
+    The reference gets the same overlap from torch DataLoader workers
+    (freefine_batch_infer_2d.py:167-173)."""
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    it = iter(items)
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        pending = deque()
+        for item in it:
+            pending.append(ex.submit(fn, item))
+            if len(pending) > depth:
+                yield pending.popleft().result()
+        while pending:
+            yield pending.popleft().result()
+
+
 def maybe_initialize_distributed() -> tuple[int, int]:
     """(process_index, process_count); initialises jax.distributed when the
     standard cluster env vars are present."""
@@ -157,10 +177,7 @@ def run_geobench_bggen(
     `BatchedFreeFine.background_generation` (beyond the reference's hard
     batch-1 limit).
     """
-    import jax
-    import jax.numpy as jnp
-
-    from freefine_tpu import masks as mask_ops
+    from freefine_tpu import native
 
     pidx, pcount = maybe_initialize_distributed()
     sub = "inp_img_blended" if blending else "inp_img_no_blend"
@@ -193,18 +210,15 @@ def run_geobench_bggen(
     progress(f"[proc {pidx}/{pcount}] bggen: {len(my)} instances "
              f"({len(done)} already done)")
 
-    dilate_j = jax.jit(
-        lambda m: mask_ops.binarize(
-            mask_ops.dilate(mask_ops.binarize(m), dilation)
-        )
-    )
-
     size = pipe.config.height  # blend at the pipeline resolution
 
     def load(item):
+        # purely host-side (native C++ dilate, cv2-anchor-exact — same
+        # binarize∘dilate∘binarize as masks.dilate) so the prefetch thread
+        # never touches the device the edit scan owns
         ori = read_image(resolve(item["ori_img_path"]), size=size)
         m = read_mask(resolve(item["ori_mask_path"]), size=size)
-        dil = np.asarray(dilate_j(jnp.asarray(m, jnp.float32)))
+        dil = (native.dilate(m, dilation) > 0).astype(np.float32)
         return ori, dil
 
     results: List[Dict] = []
@@ -213,11 +227,14 @@ def run_geobench_bggen(
         from freefine_tpu.pipeline import BatchedFreeFine
 
         batched = BatchedFreeFine(pipe)
-        for b0 in range(0, len(my), batch_size):
-            group = my[b0: b0 + batch_size]
-            if len(group) < batch_size:  # pad to the compiled batch size
-                group = group + [group[-1]] * (batch_size - len(group))
-            loaded = [load(it) for it in group]
+        raw_groups = [my[b0: b0 + batch_size]
+                      for b0 in range(0, len(my), batch_size)]
+        # pad tail groups to the compiled batch size
+        groups = [g + [g[-1]] * (batch_size - len(g)) for g in raw_groups]
+        for raw, group, loaded in zip(
+            raw_groups, groups,
+            _prefetch(groups, lambda g: [load(it) for it in g]),
+        ):
             outs = batched.background_generation(
                 [dict(ori_img=o, ori_mask=d, guidance_text="empty scene")
                  for o, d in loaded],
@@ -230,15 +247,14 @@ def run_geobench_bggen(
                 seed=[_instance_seed(seed, it["da_n"], it["ins_id"])
                       for it in group],
             )
-            for it, (ori, dil), out in zip(
-                my[b0: b0 + batch_size], loaded, outs
-            ):
+            for it, (ori, dil), out in zip(raw, loaded, outs):
                 final = blend_background(ori, out, dil) if blending else out
                 save_image(final, it["inp_img_path"])
                 results.append(dict(it))
     else:
-        for i, it in enumerate(my):
-            ori, dil = load(it)
+        for i, (it, (ori, dil)) in enumerate(
+            zip(my, _prefetch(my, load))
+        ):
             out = pipe.background_generation(
                 ori, dil, "empty scene",
                 guidance_scale=guidance_scale, eta=eta, end_step=end_step,
@@ -403,10 +419,14 @@ def run_geobench_inference(
 
         batched = BatchedFreeFine(pipe)
         done = 0
-        for b0 in range(0, len(my_cases), batch_size):
+        groups = [
+            my_cases[b0 : b0 + batch_size]
+            for b0 in range(0, len(my_cases), batch_size)
+        ]
+        for group, loaded in zip(
+            groups, _prefetch(groups, lambda g: [load_case(c) for c in g])
+        ):
             group_t0 = time.time()
-            group = my_cases[b0 : b0 + batch_size]
-            loaded = [load_case(c) for c in group]
             padded = loaded + [loaded[-1]] * (batch_size - len(loaded))
             outs = batched.generation(
                 padded, guidance_scale=guidance_scale, eta=eta,
@@ -443,82 +463,29 @@ def run_geobench_inference(
         progress(f"[proc 0] wrote {out_path}")
         return merged
 
-    for i, case in enumerate(my_cases):
+    for i, (case, loaded) in enumerate(
+        zip(my_cases, _prefetch(my_cases, load_case))
+    ):
         case_t0 = time.time()
         da_n, ins_id, edit_ins = case["da_n"], case["ins_id"], case["edit_ins"]
-        ori_img = read_image(ds.resolve(case["ori_img_path"]))
-        ori_mask = read_mask(ds.resolve(case["ori_mask_path"]))
-        if task == "3d":
-            # 3D harness (freefine_batch_infer_3d_depth.py:118-162): reads
-            # precomputed coarse3d images + draw/mesh masks; start_step 15,
-            # use_auto_draw off with the user draw mask.
-            coarse = read_image(
-                ds.resolve(
-                    case.get(
-                        "coarse_input_path_0",
-                        osp.join(dst_base, "Geo-Bench-3D",
-                                 "coarse3d_depth_anything",
-                                 da_n, ins_id, f"{edit_ins}.png"),
-                    )
-                )
-            )
-            target_mask = read_mask(
-                ds.resolve(
-                    case.get(
-                        "target_mask_0",
-                        osp.join(dst_base, "Geo-Bench-3D", "mesh_mask",
-                                 da_n, ins_id, f"{edit_ins}.png"),
-                    )
-                )
-            )
-            draw_mask = read_mask(
-                ds.resolve(
-                    case.get(
-                        "draw_mask",
-                        osp.join(dst_base, "Geo-Bench-3D", "md_mask",
-                                 da_n, ins_id, f"{edit_ins}.png"),
-                    )
-                )
-            )
-            # exact 3D protocol (freefine_batch_infer_3d_depth.py:144-162):
-            # guidance_text = obj_label, end_step 50/end_scale 0.0 (TCA
-            # modulation active to the end), cons_area = target_mask,
-            # reduce_inp_artifacts on.
-            out = pipe.generation(
-                ori_img, ori_mask, coarse, target_mask,
-                case.get("obj_label", ""),
-                guidance_scale=guidance_scale, eta=eta,
-                num_step=num_step, start_step=start_step,
-                end_step=num_step, end_scale=0.0, method_type="tca",
-                draw_mask=draw_mask, use_auto_draw=False,
-                cons_area=target_mask,
-                reduce_inp_artifacts=True,
-                seed=seed,
-            )
-        else:
-            if inp_img_dir is not None:
-                inp_bg = read_image(
-                    osp.join(inp_img_dir, da_n, ins_id, "inp_img.png")
-                )
-            else:
-                inp_bg = ori_img
-            coarse, target_mask, _ = re_edit_2d(
-                ori_img, ori_mask, case["edit_param"], inp_bg
-            )
-            # exact 2D protocol (freefine_batch_infer_2d.py:195-230):
-            # guidance_text = obj_label = "", end_step 50/end_scale 0.0,
-            # cons_area = target_mask, reduce_inp_artifacts on.
-            out = pipe.generation(
-                ori_img, ori_mask, coarse, target_mask,
-                "",
-                guidance_scale=guidance_scale, eta=eta,
-                num_step=num_step, start_step=start_step,
-                end_step=num_step, end_scale=0.0, method_type="tca",
-                use_auto_draw=True,
-                cons_area=target_mask,
-                reduce_inp_artifacts=True,
-                seed=seed,
-            )
+        # exact task protocols, shared with the batched path via load_case —
+        # 2D (freefine_batch_infer_2d.py:195-230): guidance_text = "",
+        # auto-draw on; 3D (freefine_batch_infer_3d_depth.py:144-162):
+        # guidance_text = obj_label, user draw mask, auto-draw off.  Both:
+        # end_step 50 / end_scale 0.0 (TCA active to the end),
+        # cons_area = target_mask, reduce_inp_artifacts on.
+        out = pipe.generation(
+            loaded["ori_img"], loaded["ori_mask"], loaded["coarse_input"],
+            loaded["target_mask"], loaded["guidance_text"],
+            guidance_scale=guidance_scale, eta=eta,
+            num_step=num_step, start_step=start_step,
+            end_step=num_step, end_scale=0.0, method_type="tca",
+            draw_mask=loaded.get("draw_mask"),
+            use_auto_draw=(task != "3d"),
+            cons_area=loaded["cons_area"],
+            reduce_inp_artifacts=True,
+            seed=seed,
+        )
         path = ds.output_path(da_n, ins_id, edit_ins)
         save_image(out, path)
         results.append({

@@ -269,3 +269,46 @@ def test_harness_3d_task(tmp_path):
     case = merged["da0"]["instances"]["0"]["0"]
     assert osp.exists(case["gen_img_path"])
     assert case["edit_seconds"] > 0
+
+
+def test_prefetch_order_depth_and_errors():
+    """_prefetch yields fn(item) in order, runs at most `depth` ahead, and
+    propagates loader exceptions at the failing item's position."""
+    import threading
+    import time as _time
+
+    from freefine_tpu.parallel.harness import _prefetch
+
+    started: list[int] = []
+    gate = threading.Event()
+
+    def slow(i):
+        started.append(i)
+        gate.wait(0.001)
+        return i * 10
+
+    out = list(_prefetch(range(6), slow, depth=2))
+    assert out == [0, 10, 20, 30, 40, 50]
+    assert started == list(range(6))
+
+    # depth bound: before the first yield is consumed, at most depth+1
+    # loads may have started
+    started.clear()
+    g = _prefetch(range(6), slow, depth=2)
+    first = next(g)
+    _time.sleep(0.05)
+    assert first == 0 and len(started) <= 4
+    g.close()
+
+    def boom(i):
+        if i == 2:
+            raise ValueError("bad case")
+        return i
+
+    g = _prefetch(range(4), boom, depth=1)
+    assert next(g) == 0 and next(g) == 1
+    try:
+        next(g)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
