@@ -90,6 +90,13 @@ def main():
     ap.add_argument("--profile", action="store_true",
                     help="per-stage timing via StageTimer (batched path; "
                          "prints the breakdown to stderr)")
+    ap.add_argument("--shared", action="store_true",
+                    help="shared-reference batched lane "
+                         "(generation_shared_source): cases share one "
+                         "source image so the reference stream is "
+                         "inverted and run once per step for the whole "
+                         "batch — the GeoBench per-instance grouping. "
+                         "Requires --batch > 1 to pay off.")
     ap.add_argument("--sdxl", action="store_true",
                     help="SDXL backbone at 1024^2 (the reference's named "
                          "scaling TODO, README:77); batch 1 only")
@@ -167,8 +174,11 @@ def main():
             for _ in range(args.batch)
         ]
 
+        gen = (batched.generation_shared_source if args.shared
+               else batched.generation)
+
         def one_edit(seed):
-            return batched.generation(
+            return gen(
                 cases, guidance_scale=7.5, eta=1.0,
                 num_step=num_step, start_step=start_step,
                 end_step=max(1, num_step // 5), seed=seed, timer=timer,

@@ -105,6 +105,18 @@ class EditConfig:
     # exactly that seq (the reference's hw >= 32^2 gate,
     # attention_processors.py:462).
     geodiff_loss_seq: int = 1024
+    # Shared-reference layout: the UNet batch is the 2-stream [u_e, c_e]
+    # per case and the reference stream's K/V arrive pre-computed in
+    # EditState.ref_kv (captured once per step from a standalone reference
+    # pass and shared by every case of the same source image).  Exact: the
+    # reference stream is re-pinned to its inverted latent every step and
+    # its own attention is vanilla, so its activations are identical across
+    # cases — see pipeline.sample_edit_loop_shared.
+    shared_ref: bool = False
+    # Capture mode for the standalone reference pass: sow each TCA-scope
+    # self-attention layer's (k, v) into flax "intermediates" so the edit
+    # streams can consume them via EditState.ref_kv.
+    store_kv: bool = False
 
     def __post_init__(self):
         # 'design' = DesignEdit-style key-input masking: the background
@@ -184,6 +196,11 @@ class EditState:
     # at these positions applies the geometric edit.  None unless
     # EditConfig.mode == 'geodiff'.
     warp_coords: Optional[Dict[int, jnp.ndarray]] = None
+    # Shared-reference layout (EditConfig.shared_ref): {block_index: (k, v)}
+    # with k/v [S, E] — the reference stream's self-attention K/V at each
+    # TCA-gated layer, captured once per step (EditConfig.store_kv) and
+    # shared across all cases of the same source image.
+    ref_kv: Optional[Dict[int, Tuple[jnp.ndarray, jnp.ndarray]]] = None
 
 
 def attention_resolutions(latent_h: int, latent_w: int) -> Tuple[Tuple[int, int], ...]:

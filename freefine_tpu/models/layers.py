@@ -242,6 +242,18 @@ class EditAttention(nn.Module):
             ctx_k = ctx * rows[:, :, None].astype(ctx.dtype)
         k, v = to_k(ctx_k), to_v(ctx)
 
+        # Shared-reference capture pass: sow this layer's self-attn K/V so
+        # same-source cases can consume the reference stream's context
+        # without re-running it (pipeline.sample_edit_loop_shared).  Gated
+        # exactly like the TCA consumer (place scope + layer range).
+        if (
+            edit_cfg.store_kv
+            and not self.is_cross
+            and place in edit_cfg.tca_scope
+            and edit_cfg.block_gated(block_index)
+        ):
+            self.sow("intermediates", f"ref_kv_{block_index}", (k, v))
+
         # opt-in debug instrument: sow <=32x32 attention maps (the reference
         # AttentionStore, attention.py:565-638); collected via
         # apply(..., mutable=["intermediates"])

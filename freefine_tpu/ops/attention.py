@@ -321,7 +321,7 @@ def edit_self_attention(
         return masked_sdpa(q, k, v, heads)
 
     if cfg.mode == "edit":
-        return _tca_edit(q, k, v, heads, cfg, state)
+        return _tca_edit(q, k, v, heads, cfg, state, block_index)
     if cfg.mode == "bggen":
         return _tca_bggen(q, k, v, heads, cfg, state)
     if cfg.mode == "compose":
@@ -357,32 +357,55 @@ def _effective_cg(cfg: EditConfig, state: EditState) -> jnp.ndarray:
     return state.share_gate * cg
 
 
-def _tca_edit(q, k, v, heads, cfg, state):
+def _tca_edit(q, k, v, heads, cfg, state, block_index=None):
     """Temporal-contextual attention, edit mode (attention.py:1043-1091).
 
     Streams [u_e, u_r, c_e, c_r]; edit streams attend to the reference
     stream's K/V twice (FG-restricted and BG-restricted) and composite by the
     target mask; reference streams fall through to vanilla self-attention.
+
+    Shared-reference layout (cfg.shared_ref): streams are [u_e, c_e] and the
+    reference K/V come from state.ref_kv[block_index] — captured once per
+    step from a standalone reference-stream pass and shared across all
+    same-source cases (exact: the joint pass gathers the very same rows).
     """
     b, seq, _ = q.shape
     fg_ref = state.fg_ref[seq]          # [S] source-object key mask
     tgt = state.fg_retain[seq]          # [S] target-region query mask
 
-    kc = _ref_stream_gather(k)
-    vc = _ref_stream_gather(v)
+    if cfg.shared_ref:
+        assert state.ref_kv is not None and block_index in state.ref_kv, (
+            "shared_ref layout needs EditState.ref_kv captured at every "
+            f"TCA-gated layer (missing block {block_index})"
+        )
+        rk, rv = state.ref_kv[block_index]
+        kc = jnp.broadcast_to(rk[None].astype(k.dtype), k.shape)
+        vc = jnp.broadcast_to(rv[None].astype(v.dtype), v.shape)
+        rows_fg = jnp.tile(fg_ref[None], (b, 1))          # every row is edit
+    else:
+        kc = _ref_stream_gather(k)
+        vc = _ref_stream_gather(v)
+        rows_fg = _edit_rows(fg_ref, b)
     if cfg.method == "tca":
         tgt = (tgt > 0).astype(jnp.float32)  # binarised (attention.py:1071)
+    rows_tgt = (
+        jnp.tile(tgt[None], (b, 1)) if cfg.shared_ref else _edit_rows(tgt, b)
+    )
+    rows_fg_inv = (
+        jnp.tile((1.0 - fg_ref)[None], (b, 1))
+        if cfg.shared_ref else _edit_rows(1.0 - fg_ref, b)
+    )
 
     fused = _tca_fused(
-        q, k, v, kc, vc, _edit_rows(fg_ref, b), _edit_rows(tgt, b),
+        q, k, v, kc, vc, rows_fg, rows_tgt,
         _effective_cg(cfg, state), heads,
     )
     if fused is not None:
         return fused
 
-    attn_fg = sdpa(q, kc, vc, heads, key_bias(_edit_rows(fg_ref, b)))
-    attn_bg = sdpa(q, kc, vc, heads, key_bias(_edit_rows(1.0 - fg_ref, b)))
-    tq = _edit_rows(tgt, b)[:, :, None]      # [B, S, 1] query composite mask
+    attn_fg = sdpa(q, kc, vc, heads, key_bias(rows_fg))
+    attn_bg = sdpa(q, kc, vc, heads, key_bias(rows_fg_inv))
+    tq = rows_tgt[:, :, None]                # [B, S, 1] query composite mask
     modulated = tq * attn_fg + (1.0 - tq) * attn_bg
 
     self_h = sdpa(q, k, v, heads)
@@ -706,9 +729,17 @@ def edit_cross_attention(
     # edit / bggen: 4-stream [u_e, u_r, c_e, c_r] or deduped 3-stream
     # [u_e, r, c_e] — either way h[0]/h[1]/h[2] are u_e/ref/c_e, and the
     # legacy layout's c_r output is *replaced* by u_r (attention.py:1391).
+    # Shared-reference layout: 2 streams [u_e, c_e], no reference row.
     seq = q.shape[1]
     local = state.local_region[seq][:, None]               # [S, 1]
     h = sdpa(q, k, v, heads)
+    if cfg.shared_ref:
+        assert q.shape[0] == 2, q.shape
+        u_e, c_e = h[0], h[1]
+        mod_c_e = local * c_e.astype(jnp.float32) + (
+            1.0 - local
+        ) * u_e.astype(jnp.float32)
+        return jnp.stack([u_e, mod_c_e.astype(h.dtype)])
     u_e, u_r, c_e = h[0], h[1], h[2]
     mod_c_e = local * c_e.astype(jnp.float32) + (1.0 - local) * u_e.astype(
         jnp.float32

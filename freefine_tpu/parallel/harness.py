@@ -298,6 +298,7 @@ def run_geobench_inference(
     max_cases: Optional[int] = None,
     bench: str = "2d",
     batch_size: int = 1,
+    shared_source: bool = False,
     progress: Callable[[str], None] = print,
 ) -> Optional[Dict]:
     """Run FreeFine over GeoBench with case-level data parallelism.
