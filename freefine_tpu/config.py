@@ -145,6 +145,41 @@ class PipelineConfig:
         return self.width // 8
 
 
+@dataclasses.dataclass(frozen=True)
+class DiTConfig:
+    """PixArt-α-class latent diffusion transformer (models/dit.py).
+
+    The reference README's planned backbone swap ("SDXL/DiT"); defaults are
+    the PixArt-XL-2 geometry (hidden 1152, depth 28, 16 heads of 72, patch 2
+    on the 64² SD latent grid → 1024 tokens).
+    """
+
+    sample_size: int = 64
+    patch_size: int = 2
+    in_channels: int = 4
+    out_channels: int = 4
+    hidden_size: int = 1152
+    depth: int = 28
+    num_heads: int = 16
+    cross_attention_dim: int = 768
+    dtype: jnp.dtype = jnp.bfloat16
+
+
+def tiny_dit_config() -> DiTConfig:
+    """Miniature DiT for CPU unit tests: patch 1 on the tiny 8² latent grid
+    keeps the token count at 64 = the tiny mask pyramid's top level, so the
+    editing masks resolve exactly as they do for the tiny UNet."""
+    return DiTConfig(
+        sample_size=8,
+        patch_size=1,
+        hidden_size=32,
+        depth=4,
+        num_heads=2,
+        cross_attention_dim=32,
+        dtype=jnp.float32,
+    )
+
+
 def tiny_pipeline_config(height: int = 64, width: int = 64) -> PipelineConfig:
     """A miniature config for CPU unit tests (seconds, not minutes).
 

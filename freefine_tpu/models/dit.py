@@ -1,0 +1,178 @@
+"""DiT editing backbone — the reference README's named backbone-swap TODO.
+
+The reference plans an "SDXL/DiT backbone swap" (/root/reference/README.md
+TODO; SURVEY.md §5 "Long-context").  SDXL landed earlier this round; this
+module adds the DiT half: a PixArt-α-class latent diffusion transformer
+(patchify → AdaLN-single modulated blocks of self-attn + cross-attn + FF →
+unpatchify) whose attention layers are the SAME `EditAttention` stack the
+UNet uses — so every FreeFine editing mechanism (TCA reference K/V
+injection, masked local CFG, DesignEdit key masking, attention sowing)
+works on a pure-transformer backbone with zero pipeline changes: the model
+satisfies the `unet_apply(params, lat, t, ctx, ecfg, state)` contract of
+`pipeline.sample_edit_loop`.
+
+TPU notes: a DiT is the MXU-friendliest backbone of the family — one token
+grid (S = (latent/patch)², e.g. 1024 at 512²), head_dim 64/72 (vs the SD
+UNet's pad-heavy d=40 at 64²), no GroupNorm/conv interleave, so the whole
+block is dense matmuls XLA tiles directly.  The editing mask pyramid
+already carries the DiT token resolution (32² for 512² images).
+
+Block gating: a DiT has no down/mid/up split; all blocks report
+``place="up"`` so the default ``tca_scope=("up",)`` applies, and the
+reference's decoder-layer window (`start_layer=10` of 16, model.py:506)
+maps onto ``EditConfig.layer_range`` over the block list.
+
+Deviations (documented): the FF is the repo's GEGLU `FeedForward` rather
+than PixArt's tanh-GELU MLP, and positions are fixed 2-D sincos (PixArt
+base) — this backbone targets the framework's own editing stack, not a
+specific public checkpoint; a converter can pin exact PixArt parity when a
+checkpoint-capable host is available.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from freefine_tpu.config import DiTConfig
+from freefine_tpu.edit import EditConfig, EditState, none_config
+from freefine_tpu.models.layers import (
+    EditAttention,
+    FeedForward,
+    TimestepEmbed,
+)
+
+
+def _sincos_2d(embed_dim: int, grid: int) -> np.ndarray:
+    """Fixed 2-D sin-cos position table [grid*grid, embed_dim] (DiT/MAE)."""
+    pos = np.arange(grid, dtype=np.float64)
+    omega = 1.0 / 10000 ** (np.arange(embed_dim // 4) / (embed_dim / 4.0))
+    out = np.einsum("p,d->pd", pos, omega)           # [grid, D/4]
+    emb1 = np.concatenate([np.sin(out), np.cos(out)], axis=1)  # [grid, D/2]
+    h = np.repeat(emb1, grid, axis=0)                # row-major over (y, x)
+    w = np.tile(emb1, (grid, 1))
+    return np.concatenate([h, w], axis=1)            # [grid², D]
+
+
+def _ln(x: jnp.ndarray, name: str) -> jnp.ndarray:
+    """Affine-free LayerNorm in f32 (AdaLN supplies scale/shift)."""
+    out = nn.LayerNorm(
+        epsilon=1e-6, use_scale=False, use_bias=False,
+        dtype=jnp.float32, name=name,
+    )(x.astype(jnp.float32))
+    return out.astype(x.dtype)
+
+
+class DiTBlock(nn.Module):
+    """AdaLN-single block: gated self-attn, plain cross-attn, gated FF."""
+
+    heads: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, context, t6, *, edit_cfg, edit_state, block_index):
+        dim = x.shape[-1]
+        # PixArt adaLN-single: shared 6·D timestep table + per-block learned
+        # offsets (scale_shift_table), chunked into shift/scale/gate pairs.
+        table = self.param(
+            "scale_shift_table",
+            nn.initializers.normal(dim ** -0.5),
+            (6, dim), jnp.float32,
+        )
+        mod = (table[None] + t6.astype(jnp.float32)).astype(x.dtype)
+        (shift_msa, scale_msa, gate_msa,
+         shift_mlp, scale_mlp, gate_mlp) = [mod[:, i:i + 1] for i in range(6)]
+        h = _ln(x, "norm1") * (1 + scale_msa) + shift_msa
+        x = x + gate_msa * EditAttention(
+            self.heads, is_cross=False, dtype=self.dtype, name="attn1"
+        )(h, edit_cfg=edit_cfg, edit_state=edit_state,
+          block_index=block_index, place="up")
+        x = x + EditAttention(
+            self.heads, is_cross=True, dtype=self.dtype, name="attn2"
+        )(x, context, edit_cfg=edit_cfg, edit_state=edit_state,
+          block_index=block_index, place="up")
+        h = _ln(x, "norm2") * (1 + scale_mlp) + shift_mlp
+        x = x + gate_mlp * FeedForward(dtype=self.dtype, name="ff")(h)
+        return x
+
+
+class DiT2DCondition(nn.Module):
+    """Text-conditioned latent DiT with first-class editing hooks.
+
+    Call signature matches `UNet2DCondition` so the pipeline loops accept
+    either backbone unchanged.
+    """
+
+    config: DiTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,                 # [B, H, W, C] latents (NHWC)
+        timestep: jnp.ndarray,
+        encoder_hidden_states: jnp.ndarray,  # [B, L, ctx_dim]
+        *,
+        edit_cfg: EditConfig = none_config(),
+        edit_state: Optional[EditState] = None,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        dtype = cfg.dtype
+        b, hh, ww, c = sample.shape
+        p = cfg.patch_size
+        assert hh == ww == cfg.sample_size and hh % p == 0, sample.shape
+        grid = hh // p
+
+        x = nn.Conv(
+            cfg.hidden_size, (p, p), strides=(p, p), dtype=dtype,
+            name="patch_embed",
+        )(sample.astype(dtype))
+        x = x.reshape(b, grid * grid, cfg.hidden_size)
+        x = x + jnp.asarray(
+            _sincos_2d(cfg.hidden_size, grid), dtype
+        )[None]
+
+        timestep = jnp.asarray(timestep)
+        if timestep.ndim == 0:
+            timestep = jnp.broadcast_to(timestep, (b,))
+        temb = TimestepEmbed(
+            base_dim=256, embed_dim=cfg.hidden_size, dtype=dtype,
+            name="time_embedding",
+        )(timestep)
+        t6 = nn.Dense(6 * cfg.hidden_size, dtype=dtype, name="t_block")(
+            nn.silu(temb)
+        ).reshape(b, 6, cfg.hidden_size)
+
+        ctx = nn.Dense(
+            cfg.hidden_size, dtype=dtype, name="caption_proj_1"
+        )(encoder_hidden_states.astype(dtype))
+        ctx = nn.Dense(
+            cfg.hidden_size, dtype=dtype, name="caption_proj_2"
+        )(nn.gelu(ctx, approximate=True))
+
+        for i in range(cfg.depth):
+            x = DiTBlock(
+                heads=cfg.num_heads, dtype=dtype, name=f"blocks_{i}"
+            )(x, ctx, t6, edit_cfg=edit_cfg, edit_state=edit_state,
+              block_index=i)
+
+        final = self.param(
+            "final_scale_shift",
+            nn.initializers.normal(cfg.hidden_size ** -0.5),
+            (2, cfg.hidden_size), jnp.float32,
+        )
+        t2 = nn.Dense(
+            2 * cfg.hidden_size, dtype=dtype, name="t_final"
+        )(nn.silu(temb)).reshape(b, 2, cfg.hidden_size)
+        fmod = (final[None] + t2.astype(jnp.float32)).astype(dtype)
+        x = _ln(x, "norm_final") * (1 + fmod[:, 1:2]) + fmod[:, 0:1]
+        x = nn.Dense(
+            p * p * cfg.out_channels, dtype=dtype, name="proj_out"
+        )(x)
+        x = x.reshape(b, grid, grid, p, p, cfg.out_channels)
+        x = jnp.einsum("bhwpqc->bhpwqc", x).reshape(
+            b, hh, ww, cfg.out_channels
+        )
+        return x.astype(jnp.float32)
