@@ -100,6 +100,10 @@ def main():
     ap.add_argument("--sdxl", action="store_true",
                     help="SDXL backbone at 1024^2 (the reference's named "
                          "scaling TODO, README:77); batch 1 only")
+    ap.add_argument("--dit", action="store_true",
+                    help="DiT backbone at 512^2 (the other half of the "
+                         "reference's backbone-swap TODO): PixArt-XL "
+                         "geometry, 1024 tokens, same editing semantics")
     ap.add_argument("--weights-dtype", choices=["f32", "bf16"],
                     default="bf16",
                     help="param storage dtype (default bf16 — the serving "
@@ -135,6 +139,14 @@ def main():
         cfg = (tiny_sdxl_pipeline_config() if args.tiny
                else sdxl_pipeline_config())
         pipe = SDXLFreeFine(config=cfg, params={})
+    elif args.dit:
+        from freefine_tpu.config import (
+            dit_pipeline_config, tiny_dit_pipeline_config,
+        )
+
+        cfg = (tiny_dit_pipeline_config() if args.tiny
+               else dit_pipeline_config())
+        pipe = FreeFine(config=cfg, params={})
     else:
         cfg = tiny_pipeline_config() if args.tiny else sd15_pipeline_config()
         pipe = FreeFine(config=cfg, params={})
@@ -209,6 +221,8 @@ def main():
         metric = "edits/min (tiny smoke)"
     elif args.sdxl:
         metric = f"edits/min/chip SDXL @{cfg.height}^2 {num_step}-step"
+    elif args.dit:
+        metric = f"edits/min/chip DiT @{cfg.height}^2 {num_step}-step"
     else:
         metric = "edits/min/chip @512^2 50-step"
     result = {

@@ -180,6 +180,27 @@ def tiny_dit_config() -> DiTConfig:
     )
 
 
+def dit_pipeline_config(
+    height: int = 512, width: int = 512, dtype: Optional[jnp.dtype] = None
+) -> PipelineConfig:
+    """SD-1.5 VAE/CLIP with the DiT backbone (PixArt-XL geometry at the
+    CLIP 768-d context) — the reference README's backbone-swap TODO."""
+    dtype = dtype or jnp.bfloat16
+    return PipelineConfig(
+        unet=DiTConfig(sample_size=height // 8, dtype=dtype),
+        vae=VAEConfig(dtype=dtype),
+        text=CLIPTextConfig(dtype=dtype),
+        height=height,
+        width=width,
+    )
+
+
+def tiny_dit_pipeline_config(height: int = 64, width: int = 64) -> PipelineConfig:
+    """tiny_pipeline_config with the DiT backbone for CPU tests."""
+    base = tiny_pipeline_config(height, width)
+    return dataclasses.replace(base, unet=tiny_dit_config())
+
+
 def tiny_pipeline_config(height: int = 64, width: int = 64) -> PipelineConfig:
     """A miniature config for CPU unit tests (seconds, not minutes).
 

@@ -73,7 +73,10 @@ class DiTBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, context, t6, *, edit_cfg, edit_state, block_index):
+    def __call__(
+        self, x, context, t6, *, edit_cfg, edit_state, block_index,
+        context_extra=None, context_image=None,
+    ):
         dim = x.shape[-1]
         # PixArt adaLN-single: shared 6·D timestep table + per-block learned
         # offsets (scale_shift_table), chunked into shift/scale/gate pairs.
@@ -93,7 +96,8 @@ class DiTBlock(nn.Module):
         x = x + EditAttention(
             self.heads, is_cross=True, dtype=self.dtype, name="attn2"
         )(x, context, edit_cfg=edit_cfg, edit_state=edit_state,
-          block_index=block_index, place="up")
+          block_index=block_index, place="up",
+          context_extra=context_extra, context_image=context_image)
         h = _ln(x, "norm2") * (1 + scale_mlp) + shift_mlp
         x = x + gate_mlp * FeedForward(dtype=self.dtype, name="ff")(h)
         return x
@@ -117,7 +121,11 @@ class DiT2DCondition(nn.Module):
         *,
         edit_cfg: EditConfig = none_config(),
         edit_state: Optional[EditState] = None,
+        context_extra: Optional[jnp.ndarray] = None,
+        context_image: Optional[jnp.ndarray] = None,
+        added_cond: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
+        assert added_cond is None, "DiT backbone has no added conditioning"
         cfg = self.config
         dtype = cfg.dtype
         b, hh, ww, c = sample.shape
@@ -145,18 +153,23 @@ class DiT2DCondition(nn.Module):
             nn.silu(temb)
         ).reshape(b, 6, cfg.hidden_size)
 
-        ctx = nn.Dense(
-            cfg.hidden_size, dtype=dtype, name="caption_proj_1"
-        )(encoder_hidden_states.astype(dtype))
-        ctx = nn.Dense(
-            cfg.hidden_size, dtype=dtype, name="caption_proj_2"
-        )(nn.gelu(ctx, approximate=True))
+        cp1 = nn.Dense(cfg.hidden_size, dtype=dtype, name="caption_proj_1")
+        cp2 = nn.Dense(cfg.hidden_size, dtype=dtype, name="caption_proj_2")
 
+        def caption(z):
+            return cp2(nn.gelu(cp1(z.astype(dtype)), approximate=True))
+
+        ctx = caption(encoder_hidden_states)
+        if context_extra is not None:
+            # the per-region prompt stack (compose local cross-attn) rides
+            # the same caption projection as the primary prompt
+            context_extra = caption(context_extra)
         for i in range(cfg.depth):
             x = DiTBlock(
                 heads=cfg.num_heads, dtype=dtype, name=f"blocks_{i}"
             )(x, ctx, t6, edit_cfg=edit_cfg, edit_state=edit_state,
-              block_index=i)
+              block_index=i, context_extra=context_extra,
+              context_image=context_image)
 
         final = self.param(
             "final_scale_shift",

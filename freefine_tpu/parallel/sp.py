@@ -79,12 +79,10 @@ def sequence_parallel_sdpa(
             mesh=mesh,
             in_specs=(tok, tok, tok),
             out_specs=tok,
-            check_rep=False,
         )
         return f(q, k, v)
     f = shard_map(
         local, mesh=mesh, in_specs=(tok, tok, tok, row), out_specs=tok,
-        check_rep=False,
     )
     return f(q, k, v, key_rows)
 

@@ -46,7 +46,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from freefine_tpu import masks as mask_ops
-from freefine_tpu.config import PipelineConfig, sd15_pipeline_config
+from freefine_tpu.config import DiTConfig, PipelineConfig, sd15_pipeline_config
 from freefine_tpu.edit import (
     EditConfig,
     EditState,
@@ -451,7 +451,14 @@ class FreeFine:
         seed: int = 0,
     ):
         self.config = config or sd15_pipeline_config()
-        self.unet = UNet2DCondition(config=self.config.unet)
+        if isinstance(self.config.unet, DiTConfig):
+            # backbone swap (reference README TODO): same editing hooks,
+            # same loops — only the denoiser module changes
+            from freefine_tpu.models.dit import DiT2DCondition
+
+            self.unet = DiT2DCondition(config=self.config.unet)
+        else:
+            self.unet = UNet2DCondition(config=self.config.unet)
         self.vae = AutoencoderKL(config=self.config.vae)
         self.text_encoder = CLIPTextEncoder(config=self.config.text)
         self.tokenizer = load_tokenizer(

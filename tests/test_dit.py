@@ -93,3 +93,57 @@ def test_drop_in_edit_loop(setup):
     )(traj)
     assert out.shape == (2, s, s, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-level backbone swap: FreeFine runs every entry point on the DiT
+# ---------------------------------------------------------------------------
+
+from freefine_tpu.config import tiny_dit_pipeline_config
+from freefine_tpu.pipeline import FreeFine
+
+
+@pytest.fixture(scope="module")
+def dit_pipe():
+    return FreeFine(config=tiny_dit_pipeline_config(), init_random=True)
+
+
+@pytest.fixture(scope="module")
+def dit_case(dit_pipe):
+    cfg = dit_pipe.config
+    h, w = cfg.height, cfg.width
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    coarse = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    m = np.zeros((h, w), np.uint8)
+    m[10:30, 10:30] = 255
+    tm = np.zeros((h, w), np.uint8)
+    tm[20:40, 20:40] = 255
+    return img, m, coarse, tm
+
+
+def test_pipeline_generation_on_dit(dit_pipe, dit_case):
+    img, m, coarse, tm = dit_case
+    h, w = img.shape[:2]
+    out = dit_pipe.generation(
+        img, m, coarse, tm, "a cat", num_step=6, start_step=3, end_step=1,
+        use_auto_draw=True, cons_area=np.zeros((h, w), np.uint8),
+    )
+    assert out.shape == (h, w, 3) and out.dtype == np.uint8
+
+
+def test_pipeline_bggen_on_dit(dit_pipe, dit_case):
+    img, m, _, _ = dit_case
+    out = dit_pipe.background_generation(
+        img, m, "empty scene", num_step=6, start_step=1,
+    )
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_pipeline_compose_on_dit(dit_pipe, dit_case):
+    img, m, coarse, tm = dit_case
+    out = dit_pipe.cross_image_composition(
+        [img], [m], [tm], coarse, ["bird"],
+        num_step=6, start_step=3,
+    )
+    assert out.shape == img.shape and out.dtype == np.uint8
