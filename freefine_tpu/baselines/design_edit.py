@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from freefine_tpu.edit import EditConfig, EditState
+from freefine_tpu.edit import EditConfig, EditState, nearest_resize
 from freefine_tpu.masks import dilate
 from freefine_tpu.schedulers.ddim import DDIMSchedule
 
@@ -102,7 +102,7 @@ def attend_mask(mask: Optional[np.ndarray], lh: int, lw: int,
         mj = dilate(mj, attend_scale)
     elif attend_scale < 0:
         mj = 1.0 - dilate(1.0 - mj, -attend_scale)
-    return jax.image.resize(mj, (lh, lw), "nearest")
+    return nearest_resize(mj, lh, lw)
 
 
 def shift_latent(x: jnp.ndarray, op: str, scale: float) -> jnp.ndarray:

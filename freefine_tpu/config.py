@@ -185,6 +185,12 @@ def dit_pipeline_config(
 ) -> PipelineConfig:
     """SD-1.5 VAE/CLIP with the DiT backbone (PixArt-XL geometry at the
     CLIP 768-d context) — the reference README's backbone-swap TODO."""
+    if height != width:
+        raise ValueError(
+            "the DiT backbone is square-only (DiTConfig carries one "
+            f"sample_size and a square sincos position table); got "
+            f"{height}x{width}"
+        )
     dtype = dtype or jnp.bfloat16
     return PipelineConfig(
         unet=DiTConfig(sample_size=height // 8, dtype=dtype),

@@ -108,11 +108,27 @@ class EditConfig:
     # Shared-reference layout: the UNet batch is the 2-stream [u_e, c_e]
     # per case and the reference stream's K/V arrive pre-computed in
     # EditState.ref_kv (captured once per step from a standalone reference
-    # pass and shared by every case of the same source image).  Exact: the
-    # reference stream is re-pinned to its inverted latent every step and
-    # its own attention is vanilla, so its activations are identical across
-    # cases — see pipeline.sample_edit_loop_shared.
+    # pass and shared by every case of the same source image).  The capture
+    # pass runs the reference stream with vanilla self-attention, so this
+    # lane implies ref_vanilla semantics (see below); it is exact vs a
+    # per-case loop run with ref_vanilla=True
+    # (pipeline.sample_edit_loop_shared, tests/test_shared_ref.py).
     shared_ref: bool = False
+    # Reference-stream semantics.  The reference's attention masks are built
+    # per-stream but consumed per (batch*head) row through torch's tiling
+    # `.repeat(heads, ...)` (the classic diffusers repeat-vs-
+    # repeat_interleave mask bug, attention.py:856-897): with the 4-row
+    # [m, 1, m, 1] pattern and an even head count the effective mask is
+    # *head parity* — even heads take the masked/modulated path and odd
+    # heads unmasked reference-key attention, in EVERY stream including the
+    # reference streams (whose "reference keys" are their own, so they run
+    # a masked self-modulation on even heads).  Default False replicates
+    # that behaviour bit-for-bit (tests/test_reference_golden.py).
+    # ref_vanilla=True is the *intent* variant — reference streams stay
+    # vanilla — required by the shared-source lane (whose capture pass is a
+    # standalone vanilla reference pass) and available as a documented
+    # deviation.  Edit streams keep head-parity masking either way.
+    ref_vanilla: bool = False
     # Capture mode for the standalone reference pass: sow each TCA-scope
     # self-attention layer's (k, v) into flax "intermediates" so the edit
     # streams can consume them via EditState.ref_kv.
@@ -218,14 +234,28 @@ def attention_resolutions(latent_h: int, latent_w: int) -> Tuple[Tuple[int, int]
     return tuple(out)
 
 
+def nearest_resize(mask: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """[H, W] -> [h, w] nearest resize with *torch* semantics.
+
+    torch `F.interpolate(mode='nearest')` anchors top-left
+    (src = floor(dst * in/out)); jax.image.resize samples pixel centres —
+    on binary masks every boundary token differs.  All mask plumbing uses
+    this gather so the attention masks match the reference bit-for-bit
+    (pinned against torch in tests/test_reference_golden.py).
+    """
+    mh, mw = mask.shape
+    rows = jnp.floor(jnp.arange(h) * (mh / h)).astype(jnp.int32)
+    cols = jnp.floor(jnp.arange(w) * (mw / w)).astype(jnp.int32)
+    return mask.astype(jnp.float32)[rows][:, cols]
+
+
 def downsample_mask(mask: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """Nearest-neighbour mask downsample to (h, w), flattened to [h*w].
 
     Matches the reference's `F.interpolate(mode='nearest')` on the full-res
-    mask (attention.py:852-854).
+    mask (attention.py:852-854) exactly — see `nearest_resize`.
     """
-    m = jax.image.resize(mask.astype(jnp.float32), (h, w), method="nearest")
-    return m.reshape(-1)
+    return nearest_resize(mask, h, w).reshape(-1)
 
 
 def build_mask_pyramid(

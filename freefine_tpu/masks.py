@@ -26,6 +26,8 @@ from typing import NamedTuple, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from freefine_tpu.edit import nearest_resize
+
 
 def binarize(mask: jnp.ndarray) -> jnp.ndarray:
     """>0 -> 1.0 (the reference's `mask[mask>0]=1`)."""
@@ -45,7 +47,7 @@ def prepare_mask(
         m = m[:, :, 0]
     m = m.astype(jnp.float32)
     if m.shape != (h, w):
-        m = jax.image.resize(m, (h, w), method="nearest")
+        m = nearest_resize(m, h, w)
     if binary:
         return binarize(m)
     return m / jnp.maximum(m.max(), 1e-8)
@@ -88,8 +90,9 @@ def erode(mask: jnp.ndarray, factor: int) -> jnp.ndarray:
 
 
 def to_latent_res(mask: jnp.ndarray, lh: int, lw: int) -> jnp.ndarray:
-    """Nearest-downsample a full-res mask to the latent grid."""
-    return jax.image.resize(mask.astype(jnp.float32), (lh, lw), method="nearest")
+    """Nearest-downsample a full-res mask to the latent grid (torch anchor
+    convention, see edit.nearest_resize)."""
+    return nearest_resize(mask.astype(jnp.float32), lh, lw)
 
 
 class EditMasks(NamedTuple):

@@ -236,8 +236,16 @@ def _tca_fused(
 #   3-stream [u_e, r, c_e]        -> [r, r, r]  (deduped: the reference
 #     stream's uncond and cond passes are identical — same latent, same ""
 #     prompt — so one shared stream serves both CFG halves; see
-#     sample_edit_loop and tests/test_stream_dedup.py).
-_REF_GATHER = {3: (1, 1, 1), 4: (1, 1, 3, 3)}
+#     sample_edit_loop and tests/test_stream_dedup.py);
+#   1-stream [r]                  -> [r]  (standalone reference pass: the
+#     gather is the identity, so the stream runs the reference streams'
+#     even-head self-modulation).
+_REF_GATHER = {1: (0,), 3: (1, 1, 1), 4: (1, 1, 3, 3)}
+
+# Which streams are *edit* streams per layout (1 = edit, 0 = reference).
+# Only consulted under EditConfig.ref_vanilla — with reference-exact
+# head-parity masks the pattern is stream-independent.
+_EDIT_STREAMS = {1: (0,), 3: (1, 0, 1), 4: (1, 0, 1, 0)}
 
 
 def _ref_stream_gather(x: jnp.ndarray) -> jnp.ndarray:
@@ -255,17 +263,87 @@ def _ref_stream_gather(x: jnp.ndarray) -> jnp.ndarray:
 
 def _edit_rows(per_token: jnp.ndarray, b: int) -> jnp.ndarray:
     """[S] mask -> [B, S]: applied to the edit streams, ones for the
-    reference stream(s).  B = 4 legacy layout, 3 deduped layout."""
+    reference stream(s).  B = 4 legacy layout, 3 deduped layout.
+
+    Used by the *intent*-semantics rows (EditConfig.ref_vanilla) and by the
+    kernel-composite tests; the reference-exact default builds head-parity
+    rows instead (`_parity_rows`)."""
     ones = jnp.ones_like(per_token)
     try:
-        rows = {3: (per_token, ones, per_token),
-                4: (per_token, ones, per_token, ones)}[b]
+        rows = [per_token if e else ones for e in _EDIT_STREAMS[b]]
     except KeyError:
         raise ValueError(
             f"edit/bggen attention expects the deduped 3-stream or legacy "
             f"4-stream batch layout, got batch {b}"
         ) from None
     return jnp.stack(rows)
+
+
+# -- head-parity mask layout (reference-exact) ------------------------------
+#
+# The reference builds its attention masks per-stream but consumes them per
+# (batch*head) row after torch `.repeat(heads, ...)` TILES the 4-row
+# [m, 1, m, 1] pattern, while `head_to_batch_dim` orders rows batch-major
+# (row = b*H + h).  With H even the row index mod 4 collapses to h mod 2:
+# *even heads* take the masked/modulated path and *odd heads* unmasked
+# reference-key attention — in every stream, independent of b (the classic
+# diffusers repeat-vs-repeat_interleave mask bug; attention.py:856-860,
+# 884-897, verified bit-for-bit in tests/test_reference_golden.py).
+#
+# We express this by regrouping heads into two virtual batch blocks
+# ([even-head streams; odd-head streams] = [2B, S, E/2]) so the existing
+# rank-1 per-row mask machinery and the fused Pallas kernel apply unchanged.
+
+
+def _split_parity(x: jnp.ndarray, heads: int) -> jnp.ndarray:
+    """[B, S, H*D] -> [2B, S, (H/2)*D]: even-head halves then odd-head
+    halves stacked on the batch axis.  Exact — attention is head-diagonal."""
+    b, s, e = x.shape
+    d = e // heads
+    xh = x.reshape(b, s, heads // 2, 2, d)
+    return jnp.concatenate(
+        [xh[:, :, :, 0].reshape(b, s, -1), xh[:, :, :, 1].reshape(b, s, -1)],
+        axis=0,
+    )
+
+
+def _merge_parity(x: jnp.ndarray, heads: int) -> jnp.ndarray:
+    """Inverse of `_split_parity`: [2B, S, (H/2)*D] -> [B, S, H*D]."""
+    b2, s, e2 = x.shape
+    b = b2 // 2
+    d = e2 // (heads // 2)
+    xe = x[:b].reshape(b, s, heads // 2, 1, d)
+    xo = x[b:].reshape(b, s, heads // 2, 1, d)
+    return jnp.concatenate([xe, xo], axis=3).reshape(b, s, -1)
+
+
+def _parity_rows(
+    per_token: jnp.ndarray, b: int, edit_only: bool = False
+) -> jnp.ndarray:
+    """[S] mask -> [2B, S] rows for the parity-split layout: the even-head
+    block is masked, the odd-head block unmasked.
+
+    edit_only (EditConfig.ref_vanilla): mask only the edit streams' even
+    heads, reference streams stay fully unmasked (intent semantics — the
+    shared-source lane's contract)."""
+    ones = jnp.ones_like(per_token)
+    if edit_only:
+        even = jnp.stack(
+            [per_token if e else ones for e in _EDIT_STREAMS[b]]
+        )
+    else:
+        even = jnp.tile(per_token[None], (b, 1))
+    return jnp.concatenate([even, jnp.tile(ones[None], (b, 1))], axis=0)
+
+
+def _check_parity_heads(heads: int) -> None:
+    if heads % 2:
+        raise ValueError(
+            "reference-exact TCA/SDSA masking is head-parity-interleaved "
+            f"(see _parity_rows) and requires an even head count, got "
+            f"{heads}.  All editing backbones (SD-1.5/SDXL/DiT) use even "
+            "head counts at their attention resolutions."
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -360,15 +438,21 @@ def _effective_cg(cfg: EditConfig, state: EditState) -> jnp.ndarray:
 def _tca_edit(q, k, v, heads, cfg, state, block_index=None):
     """Temporal-contextual attention, edit mode (attention.py:1043-1091).
 
-    Streams [u_e, u_r, c_e, c_r]; edit streams attend to the reference
-    stream's K/V twice (FG-restricted and BG-restricted) and composite by the
-    target mask; reference streams fall through to vanilla self-attention.
+    Streams [u_e, u_r, c_e, c_r]; every stream attends to the reference
+    stream of its CFG half (cross_manner_attention_modulate).  Per the
+    reference's head-parity mask consumption (see `_parity_rows`): even
+    heads composite an FG-restricted and a BG-restricted reference
+    attention by the target mask, odd heads take unmasked reference-key
+    attention; both blend with vanilla self-attention by context_guidance.
+    For the reference streams the gathered keys are their own, so they run
+    the same even-head self-modulation (vanilla under cfg.ref_vanilla).
 
     Shared-reference layout (cfg.shared_ref): streams are [u_e, c_e] and the
     reference K/V come from state.ref_kv[block_index] — captured once per
-    step from a standalone reference-stream pass and shared across all
-    same-source cases (exact: the joint pass gathers the very same rows).
+    step from a standalone (vanilla, i.e. ref_vanilla-semantics) reference
+    pass and shared across all same-source cases.
     """
+    _check_parity_heads(heads)
     b, seq, _ = q.shape
     fg_ref = state.fg_ref[seq]          # [S] source-object key mask
     tgt = state.fg_retain[seq]          # [S] target-region query mask
@@ -381,60 +465,70 @@ def _tca_edit(q, k, v, heads, cfg, state, block_index=None):
         rk, rv = state.ref_kv[block_index]
         kc = jnp.broadcast_to(rk[None].astype(k.dtype), k.shape)
         vc = jnp.broadcast_to(rv[None].astype(v.dtype), v.shape)
-        rows_fg = jnp.tile(fg_ref[None], (b, 1))          # every row is edit
+        edit_only = False               # both streams are edit streams
     else:
         kc = _ref_stream_gather(k)
         vc = _ref_stream_gather(v)
-        rows_fg = _edit_rows(fg_ref, b)
+        edit_only = cfg.ref_vanilla
     if cfg.method == "tca":
         tgt = (tgt > 0).astype(jnp.float32)  # binarised (attention.py:1071)
-    rows_tgt = (
-        jnp.tile(tgt[None], (b, 1)) if cfg.shared_ref else _edit_rows(tgt, b)
-    )
-    rows_fg_inv = (
-        jnp.tile((1.0 - fg_ref)[None], (b, 1))
-        if cfg.shared_ref else _edit_rows(1.0 - fg_ref, b)
-    )
 
-    fused = _tca_fused(
-        q, k, v, kc, vc, rows_fg, rows_tgt,
-        _effective_cg(cfg, state), heads,
-    )
+    qp, kp, vp = (_split_parity(x, heads) for x in (q, k, v))
+    kcp, vcp = _split_parity(kc, heads), _split_parity(vc, heads)
+    rows_fg = _parity_rows(fg_ref, b, edit_only)
+    rows_tgt = _parity_rows(tgt, b, edit_only)
+    ecg = _effective_cg(cfg, state)
+
+    fused = _tca_fused(qp, kp, vp, kcp, vcp, rows_fg, rows_tgt,
+                       ecg, heads // 2)
     if fused is not None:
-        return fused
+        return _merge_parity(fused, heads)
 
-    attn_fg = sdpa(q, kc, vc, heads, key_bias(rows_fg))
-    attn_bg = sdpa(q, kc, vc, heads, key_bias(rows_fg_inv))
-    tq = rows_tgt[:, :, None]                # [B, S, 1] query composite mask
+    # Unmasked (all-ones) rows stay unmasked on the BG side too: their
+    # blend weight (1 - tq) is zero, but the softmax stays well-posed.
+    rows_bg = _parity_rows(1.0 - fg_ref, b, edit_only)
+    attn_fg = sdpa(qp, kcp, vcp, heads // 2, key_bias(rows_fg))
+    attn_bg = sdpa(qp, kcp, vcp, heads // 2, key_bias(rows_bg))
+    tq = rows_tgt[:, :, None]               # [2B, S, 1] query composite mask
     modulated = tq * attn_fg + (1.0 - tq) * attn_bg
 
-    self_h = sdpa(q, k, v, heads)
-    return _blend_with_self(modulated, self_h, cfg, state)
+    self_h = sdpa(qp, kp, vp, heads // 2)
+    return _merge_parity(
+        _blend_with_self(modulated, self_h, cfg, state), heads
+    )
 
 
 def _tca_bggen(q, k, v, heads, cfg, state):
     """Background-generation TCA (attention.py:1284-1324).
 
-    Only the BG-masked reference attention is used — the removed object's
-    keys are excluded so the hole is filled from background context.
+    Even heads: BG-masked reference attention (the removed object's keys
+    are excluded so the hole is filled from background context); odd heads:
+    unmasked reference-key attention (head-parity mask consumption, see
+    `_parity_rows`); blended with vanilla self-attention.
     """
+    _check_parity_heads(heads)
     b, seq, _ = q.shape
     obj = state.fg_retain[seq]  # object / inpainting-region mask
 
     kc = _ref_stream_gather(k)
     vc = _ref_stream_gather(v)
+    qp, kp, vp = (_split_parity(x, heads) for x in (q, k, v))
+    kcp, vcp = _split_parity(kc, heads), _split_parity(vc, heads)
+    rows_bg = _parity_rows(1.0 - obj, b, cfg.ref_vanilla)
+    ones_tq = jnp.ones((2 * b, seq), jnp.float32)
+
     # Fused route: with fg-keys = 1-obj and tq = 1, the kernel's modulated
     # output reduces to the BG-masked attention.
-    fused = _tca_fused(
-        q, k, v, kc, vc, _edit_rows(1.0 - obj, b),
-        jnp.ones((b, seq), jnp.float32), _effective_cg(cfg, state), heads,
-    )
+    fused = _tca_fused(qp, kp, vp, kcp, vcp, rows_bg, ones_tq,
+                       _effective_cg(cfg, state), heads // 2)
     if fused is not None:
-        return fused
+        return _merge_parity(fused, heads)
 
-    attn_bg = sdpa(q, kc, vc, heads, key_bias(_edit_rows(1.0 - obj, b)))
-    self_h = sdpa(q, k, v, heads)
-    return _blend_with_self(attn_bg, self_h, cfg, state)
+    attn_bg = sdpa(qp, kcp, vcp, heads // 2, key_bias(rows_bg))
+    self_h = sdpa(qp, kp, vp, heads // 2)
+    return _merge_parity(
+        _blend_with_self(attn_bg, self_h, cfg, state), heads
+    )
 
 
 def _tca_compose(q, k, v, heads, cfg, state):
@@ -482,18 +576,30 @@ def _style_align_attention(q, k, v, heads, cfg, state):
     k_cat = jnp.concatenate([k, _ref_stream_gather(k)], axis=1)
     v_cat = jnp.concatenate([v, _ref_stream_gather(v)], axis=1)
 
-    rows = None
-    if cfg.method == "sdsa":
-        ones = jnp.ones((seq,), jnp.float32)
-        if cfg.mode == "bggen":
-            obj = state.fg_retain[seq]
-            allowed = 1.0 - jnp.concatenate([ones, obj])   # ref-BG keys only
-        else:
-            fg = state.fg_ref[seq]
-            allowed = jnp.concatenate([ones, fg])          # own + ref-FG keys
-        rows = _edit_rows(allowed, q.shape[0])
+    if cfg.method != "sdsa":
+        return masked_sdpa(q, k_cat, v_cat, heads)
 
-    return masked_sdpa(q, k_cat, v_cat, heads, rows)
+    # sdsa masks are consumed head-parity-interleaved like the TCA masks
+    # (prepare_sdsa_mask builds the 4-row [m, 1, m, 1] pattern then
+    # post_process_attn_mask tiles it over heads, attention.py:940-951):
+    # even heads restricted, odd heads attend the full [own; ref] keys.
+    _check_parity_heads(heads)
+    ones = jnp.ones((seq,), jnp.float32)
+    if cfg.mode == "bggen":
+        obj = state.fg_retain[seq]
+        allowed = 1.0 - jnp.concatenate([ones, obj])       # ref-BG keys only
+    else:
+        fg = state.fg_ref[seq]
+        allowed = jnp.concatenate([ones, fg])              # own + ref-FG keys
+    rows = _parity_rows(allowed, q.shape[0], cfg.ref_vanilla)
+    out = masked_sdpa(
+        _split_parity(q, heads),
+        _split_parity(k_cat, heads),
+        _split_parity(v_cat, heads),
+        heads // 2,
+        rows,
+    )
+    return _merge_parity(out, heads)
 
 
 # ---------------------------------------------------------------------------

@@ -48,10 +48,12 @@ import numpy as np
 from freefine_tpu import masks as mask_ops
 from freefine_tpu.config import DiTConfig, PipelineConfig, sd15_pipeline_config
 from freefine_tpu.edit import (
+    DEFAULT_LAYER_RANGE,
     EditConfig,
     EditState,
     build_mask_pyramid,
     build_mask_stack_pyramid,
+    nearest_resize,
     none_config,
 )
 from freefine_tpu.models.text_encoder import CLIPTextEncoder
@@ -476,6 +478,22 @@ class FreeFine:
         self.params = params
         self._jit_cache = {}
         self._schedules = {}
+        # Backbone-appropriate TCA layer window: the (10, 16) default is the
+        # SD-UNet's global attention indexing (16 blocks, late-decoder window
+        # 10..15 = reference start_layer=10, attention.py:656-658).  A DiT
+        # has `depth` uniform blocks, so gate the same *fraction* of late
+        # layers instead of the literal indices.
+        if isinstance(self.config.unet, DiTConfig):
+            d = self.config.unet.depth
+            lo, hi = DEFAULT_LAYER_RANGE
+            self._layer_range = (round(lo / hi * d), d)
+        else:
+            self._layer_range = DEFAULT_LAYER_RANGE
+
+    def _edit_config(self, **kw) -> EditConfig:
+        """EditConfig with the backbone-appropriate default layer_range."""
+        kw.setdefault("layer_range", self._layer_range)
+        return EditConfig(**kw)
 
     # -- setup ---------------------------------------------------------------
 
@@ -679,7 +697,9 @@ class FreeFine:
         method, cg, gates = _method_and_gates(
             method_type, start_step, end_step, num_step, end_scale
         )
-        ecfg = EditConfig(mode="edit", method=method, local_cfg=local_text_edit)
+        ecfg = self._edit_config(
+            mode="edit", method=method, local_cfg=local_text_edit
+        )
         text_emb = self._edit_text_embeddings(guidance_text)
 
         key = (
@@ -754,7 +774,9 @@ class FreeFine:
         method, cg, gates = _method_and_gates(
             method_type, start_step, end_step, num_step, end_scale
         )
-        ecfg = EditConfig(mode="bggen", method=method, local_cfg=local_text_edit)
+        ecfg = self._edit_config(
+            mode="bggen", method=method, local_cfg=local_text_edit
+        )
         text_emb = self._edit_text_embeddings(guidance_text)
 
         key = (
@@ -836,7 +858,7 @@ class FreeFine:
         assert cm.tgt_masks.shape[0] >= p, (
             f"{p} region prompts vs {cm.tgt_masks.shape[0]} target regions"
         )
-        ecfg = EditConfig(
+        ecfg = self._edit_config(
             mode="compose", method=method, local_cfg=local_text_edit,
             num_streams=n + 2, num_sources=n, prompt_length=p,
         )
@@ -896,6 +918,13 @@ class FreeFine:
         of denoise steps (reference Sampler.py:74-90 applies guidance while
         i < 30 of 50)."""
         assert method_type in METHOD_TYPES, method_type
+        if isinstance(self.config.unet, DiTConfig):
+            raise NotImplementedError(
+                "guided_generation needs the UNet backbone's intermediate "
+                "feature taps (return_features/h_sample) for the energy "
+                "gradients; the DiT backbone does not expose them.  Use a "
+                "UNet pipeline config, or generation() on the DiT."
+            )
         cfg = self.config
         lh, lw = cfg.latent_height, cfg.latent_width
 
@@ -921,7 +950,7 @@ class FreeFine:
         method, cg, gates = _method_and_gates(
             method_type, start_step, end_step, num_step, end_scale
         )
-        ecfg = EditConfig(mode="edit", method=method, local_cfg=True)
+        ecfg = self._edit_config(mode="edit", method=method, local_cfg=True)
         text_emb = self._edit_text_embeddings(guidance_text)
         energy_until = int(round((num_step - start_step) * energy_fraction))
         emasks = _guided_energy_masks(cfg, em)
@@ -1099,9 +1128,7 @@ def _stack_masks_np(masks, h: int, w: int) -> np.ndarray:
             a = a[..., 0]
         a = a.astype(np.float32)
         if a.shape != (h, w):
-            a = np.asarray(
-                jax.image.resize(jnp.asarray(a), (h, w), method="nearest")
-            )
+            a = np.asarray(nearest_resize(jnp.asarray(a), h, w))
         out.append(a)
     return np.stack(out)
 
@@ -1247,7 +1274,9 @@ class BatchedFreeFine:
         method, cg, gates = _method_and_gates(
             method_type, start_step, end_step, num_step, end_scale
         )
-        ecfg = EditConfig(mode="edit", method=method, local_cfg=local_text_edit)
+        ecfg = self.pipe._edit_config(
+            mode="edit", method=method, local_cfg=local_text_edit
+        )
         key = (
             "edit_batch", n, num_step, start_step, ecfg, guidance_scale, eta,
             local_text_edit, local_perturbation,
@@ -1301,9 +1330,18 @@ class BatchedFreeFine:
         edits per source instance).  The shared reference is inverted once
         and its per-step K/V are captured once and broadcast, cutting
         per-edit UNet cost from 2+3 to (1+1/B)+(2+1/B) stream-passes —
-        30% at B = 4 — with outputs equal to `generation` case by case
-        (tests/test_shared_ref.py).  Use `generation` for mixed sources or
-        B = 1 (the standalone capture pass only pays off when shared)."""
+        30% at B = 4.
+
+        Semantics note: the capture pass runs the reference stream with
+        vanilla self-attention, i.e. this lane uses the *intent*
+        (EditConfig.ref_vanilla) reference-stream semantics — under the
+        reference-exact head-parity masks the reference stream's even-head
+        self-modulation depends on each case's masks, so an exact shared
+        capture is impossible by construction.  Outputs equal `generation`
+        run with ref_vanilla=True case by case (tests/test_shared_ref.py);
+        the default per-case lane (ref_vanilla=False) differs on the
+        reference stream's even heads.  Use `generation` for mixed sources,
+        B = 1, or strict reference parity."""
         pipe = self.pipe
         cfg = pipe.config
         n = len(cases)
@@ -1341,9 +1379,9 @@ class BatchedFreeFine:
         method, cg, gates = _method_and_gates(
             method_type, start_step, end_step, num_step, end_scale
         )
-        ecfg = EditConfig(
+        ecfg = self.pipe._edit_config(
             mode="edit", method=method, local_cfg=local_text_edit,
-            shared_ref=True,
+            shared_ref=True, ref_vanilla=True,
         )
         cap_cfg = dataclasses.replace(
             none_config(), store_kv=True,
@@ -1431,7 +1469,9 @@ class BatchedFreeFine:
         method, cg, gates = _method_and_gates(
             method_type, start_step, end_step, num_step, end_scale
         )
-        ecfg = EditConfig(mode="bggen", method=method, local_cfg=local_text_edit)
+        ecfg = self.pipe._edit_config(
+            mode="bggen", method=method, local_cfg=local_text_edit
+        )
         key = (
             "bggen_batch", n, num_step, start_step, ecfg, guidance_scale, eta,
             local_text_edit, local_perturbation,
@@ -1551,7 +1591,7 @@ class BatchedFreeFine:
             method_type, start_step, end_step, num_step, end_scale
         )
         p = np_prompts + 1
-        ecfg = EditConfig(
+        ecfg = self.pipe._edit_config(
             mode="compose", method=method, local_cfg=local_text_edit,
             num_streams=ns + 2, num_sources=ns, prompt_length=p,
         )
@@ -1697,7 +1737,7 @@ def _guided_energy_masks(cfg, em):
     resolution (2x latent)."""
     lh, lw = cfg.latent_height, cfg.latent_width
     hw = (lh * 2, lw * 2)
-    resize = lambda m: jax.image.resize(m, hw, "nearest")
+    resize = lambda m: nearest_resize(m, *hw)
     return (
         resize(em.fg_retain),
         resize(1.0 - jnp.maximum(em.fg_retain, em.fg_ref)),

@@ -2,7 +2,10 @@
 
 Each test checks the functional ops against the semantics of the reference
 `Attention_Modulator` (/root/reference/src/utils/attention.py:640-1445),
-re-derived as independent dense-mask computations in float32.
+re-derived as independent dense-mask computations in float32.  The masks are
+consumed head-parity-interleaved, matching the reference's actual tiled-mask
+behaviour (see ops/attention._parity_rows and tests/test_reference_golden.py,
+which pins the same semantics against the reference's own code).
 """
 
 import jax
@@ -21,9 +24,9 @@ DIM = 8  # embed dim (heads * head_dim)
 def np_sdpa(q, k, v, heads, key_mask_rows=None):
     """Dense-mask reference attention in numpy.
 
-    q [B,Sq,E], k/v [B,Sk,E]; key_mask_rows [B,Sk] 0/1 (0 -> masked out).
-    Mirrors the reference's baddbmm + additive finfo.min mask
-    (attention.py:774-806,856-860).
+    q [B,Sq,E], k/v [B,Sk,E]; key_mask_rows [B,Sk] or per-head [B,H,Sk]
+    0/1 (0 -> masked out).  Mirrors the reference's baddbmm + additive
+    finfo.min mask (attention.py:774-806,856-860).
     """
     b, sq, e = q.shape
     sk = k.shape[1]
@@ -37,12 +40,48 @@ def np_sdpa(q, k, v, heads, key_mask_rows=None):
             vh = v[bi, :, h * d : (h + 1) * d]
             logits = qh @ kh.T * scale
             if key_mask_rows is not None:
-                logits = logits + (key_mask_rows[bi][None, :] - 1.0) * -A.NEG_INF
+                rows = (
+                    key_mask_rows[bi, h]
+                    if key_mask_rows.ndim == 3 else key_mask_rows[bi]
+                )
+                logits = logits + (rows[None, :] - 1.0) * -A.NEG_INF
             logits = logits - logits.max(-1, keepdims=True)
             p = np.exp(logits)
             p = p / p.sum(-1, keepdims=True)
             out[bi, :, h * d : (h + 1) * d] = p @ vh
     return out
+
+
+def np_parity_rows(m, b, heads, ref_vanilla=False):
+    """[S] -> [B, H, S]: even heads masked, odd heads all-ones — the
+    reference's effective tiled-mask layout (attention.py:856-897).
+    ref_vanilla: reference streams (odd batch indices in the 4-stream
+    layout, index 1 in the 3-stream) stay unmasked on every head."""
+    edits = {1: (0,), 3: (1, 0, 1), 4: (1, 0, 1, 0)}[b]
+    ones = np.ones_like(m)
+    rows = np.empty((b, heads, m.shape[0]), np.float32)
+    for bi in range(b):
+        for h in range(heads):
+            masked = h % 2 == 0 and (edits[bi] or not ref_vanilla)
+            rows[bi, h] = m if masked else ones
+    return rows
+
+
+def np_tca_modulated(q, kr, vr, heads, fg_ref, tgt, ref_vanilla=False):
+    """Reference TCA modulated branch: per-head-parity FG/BG composite."""
+    b = q.shape[0]
+    fg_rows = np_parity_rows(fg_ref, b, heads, ref_vanilla)
+    bg_rows = np_parity_rows(1 - fg_ref, b, heads, ref_vanilla)
+    tq = np_parity_rows(tgt, b, heads, ref_vanilla)
+    attn_fg = np_sdpa(q, kr, vr, heads, fg_rows)
+    attn_bg = np_sdpa(q, kr, vr, heads, bg_rows)
+    d = q.shape[-1] // heads
+    # tq is [B, H, S] -> broadcast to [B, S, H*D] grouped head-major
+    tq_e = np.concatenate(
+        [np.repeat(tq[:, h, :, None], d, axis=-1) for h in range(heads)],
+        axis=-1,
+    )
+    return tq_e * attn_fg + (1 - tq_e) * attn_bg
 
 
 @pytest.fixture
@@ -92,28 +131,50 @@ def test_tca_edit_matches_dense_reference(qkv, masks):
     )
 
     # Dense reference (attention.py:1043-1091): K/V <- ref stream of each CFG
-    # half; FG/BG key masks rows [fg, 1, fg, 1]; composite by binarised tgt.
+    # half; head-parity FG/BG key masks; composite by binarised tgt.
     kr, vr = k[[1, 1, 3, 3]], v[[1, 1, 3, 3]]
-    ones = np.ones(SEQ, np.float32)
-    fg_rows = np.stack([fg_ref, ones, fg_ref, ones])
-    bg_rows = np.stack([1 - fg_ref, ones, 1 - fg_ref, ones])
-    attn_fg = np_sdpa(q, kr, vr, HEADS, fg_rows)
-    attn_bg = np_sdpa(q, kr, vr, HEADS, bg_rows)
     tgt_b = (tgt > 0).astype(np.float32)
-    tgt_rows = np.stack([tgt_b, ones, tgt_b, ones])[:, :, None]
-    modulated = tgt_rows * attn_fg + (1 - tgt_rows) * attn_bg
+    modulated = np_tca_modulated(q, kr, vr, HEADS, fg_ref, tgt_b)
     self_h = np_sdpa(q, k, v, HEADS)
     want = cg * modulated + (1 - cg) * self_h
 
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
-def test_tca_reference_streams_stay_vanilla(qkv, masks):
-    """Streams 1 and 3 must come out as plain self-attention."""
+def test_tca_reference_streams_even_head_self_modulation(qkv, masks):
+    """Reference streams (1, 3) under the head-parity mask layout: odd heads
+    are vanilla self-attention; even heads run the masked composite over
+    their OWN keys (the gather is the identity for reference streams)."""
+    q, k, v = qkv
+    fg_ref, tgt = masks
+    cfg = EditConfig(mode="edit", method="mmsa")
+    state = make_state(fg_ref, tgt)
+    got = np.asarray(
+        A.edit_self_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            HEADS, cfg, state, block_index=12, place="up",
+        )
+    )
+    kr, vr = k[[1, 1, 3, 3]], v[[1, 1, 3, 3]]
+    want = np_tca_modulated(q, kr, vr, HEADS, fg_ref, tgt)
+    d = DIM // HEADS
+    # odd heads of every stream = vanilla self-attention (kr == k there for
+    # reference streams; for edit streams odd heads are unmasked ref attn)
+    vanilla = np_sdpa(q, k, v, HEADS)
+    np.testing.assert_allclose(
+        got[1, :, d:], vanilla[1, :, d:], rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(got[1], want[1], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got[3], want[3], rtol=1e-4, atol=1e-4)
+
+
+def test_tca_ref_vanilla_keeps_reference_streams_vanilla(qkv, masks):
+    """EditConfig.ref_vanilla (intent semantics / shared-source lane):
+    streams 1 and 3 come out as plain self-attention."""
     q, k, v = qkv
     fg_ref, tgt = masks
     for method in ("tca", "mmsa"):
-        cfg = EditConfig(mode="edit", method=method)
+        cfg = EditConfig(mode="edit", method=method, ref_vanilla=True)
         state = make_state(fg_ref, tgt)
         got = np.asarray(
             A.edit_self_attention(
@@ -136,13 +197,7 @@ def test_mmsa_uses_soft_target_mask(qkv, masks):
         HEADS, cfg, state, block_index=12, place="up",
     )
     kr, vr = k[[1, 1, 3, 3]], v[[1, 1, 3, 3]]
-    ones = np.ones(SEQ, np.float32)
-    attn_fg = np_sdpa(q, kr, vr, HEADS, np.stack([fg_ref, ones, fg_ref, ones]))
-    attn_bg = np_sdpa(
-        q, kr, vr, HEADS, np.stack([1 - fg_ref, ones, 1 - fg_ref, ones])
-    )
-    tgt_rows = np.stack([tgt, ones, tgt, ones])[:, :, None]  # soft, not binarised
-    want = tgt_rows * attn_fg + (1 - tgt_rows) * attn_bg
+    want = np_tca_modulated(q, kr, vr, HEADS, fg_ref, tgt)  # soft tgt
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
@@ -196,8 +251,7 @@ def test_bggen_tca_matches_dense(qkv, masks):
         HEADS, cfg, state, block_index=12, place="up",
     )
     kr, vr = k[[1, 1, 3, 3]], v[[1, 1, 3, 3]]
-    ones = np.ones(SEQ, np.float32)
-    bg_rows = np.stack([1 - obj, ones, 1 - obj, ones])
+    bg_rows = np_parity_rows(1 - obj, 4, HEADS)
     attn_bg = np_sdpa(q, kr, vr, HEADS, bg_rows)
     self_h = np_sdpa(q, k, v, HEADS)
     want = cg * attn_bg + (1 - cg) * self_h
@@ -274,10 +328,8 @@ def test_sdsa_restricts_reference_keys(qkv, masks):
     )
     k_cat = np.concatenate([k, k[[1, 1, 3, 3]]], axis=1)
     v_cat = np.concatenate([v, v[[1, 1, 3, 3]]], axis=1)
-    ones = np.ones(SEQ, np.float32)
-    allowed = np.concatenate([ones, fg_ref])
-    all2 = np.ones(2 * SEQ, np.float32)
-    rows = np.stack([allowed, all2, allowed, all2])
+    allowed = np.concatenate([np.ones(SEQ, np.float32), fg_ref])
+    rows = np_parity_rows(allowed, 4, HEADS)
     want = np_sdpa(q, k_cat, v_cat, HEADS, rows)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 

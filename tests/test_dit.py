@@ -147,3 +147,41 @@ def test_pipeline_compose_on_dit(dit_pipe, dit_case):
         num_step=6, start_step=3,
     )
     assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_layer_range_scales_with_backbone_depth(dit_pipe):
+    """ADVICE r3: the (10, 16) default encodes the UNet's 16-block global
+    attention indexing; on a depth-D DiT the entry points must gate the
+    same late-layer *fraction* — (round(10/16*D), D)."""
+    from freefine_tpu.config import dit_pipeline_config
+    from freefine_tpu.edit import DEFAULT_LAYER_RANGE
+
+    d = dit_pipe.config.unet.depth
+    lo, hi = DEFAULT_LAYER_RANGE
+    assert dit_pipe._layer_range == (round(lo / hi * d), d)
+    ecfg = dit_pipe._edit_config(mode="edit", method="tca")
+    assert ecfg.layer_range == dit_pipe._layer_range
+    # explicit layer_range wins
+    ecfg = dit_pipe._edit_config(mode="edit", method="tca", layer_range=(1, 2))
+    assert ecfg.layer_range == (1, 2)
+    # UNet pipelines keep the reference literal window
+    from freefine_tpu.config import tiny_pipeline_config
+
+    up = FreeFine(config=tiny_pipeline_config(), init_random=True)
+    assert up._layer_range == DEFAULT_LAYER_RANGE
+
+
+def test_dit_pipeline_config_square_only():
+    from freefine_tpu.config import dit_pipeline_config
+
+    with pytest.raises(ValueError, match="square-only"):
+        dit_pipeline_config(512, 768)
+
+
+def test_guided_generation_rejects_dit(dit_pipe, dit_case):
+    img, m, coarse, tm = dit_case
+    with pytest.raises(NotImplementedError, match="UNet backbone"):
+        dit_pipe.guided_generation(
+            ori_img=img, ori_mask=m, coarse_input=coarse, target_mask=tm,
+            guidance_text="a cat", num_step=4, start_step=2,
+        )

@@ -8,7 +8,11 @@ source image it is the same computation B times.  The shared lane
 TCA-layer K/V (EditConfig.store_kv), and broadcasts them to every case's
 2-stream [u_e, c_e] pass (EditConfig.shared_ref).  These tests pin that
 the shared lane equals the per-case deduped 3-stream loop, including the
-bit-compatible per-case DDPM noise chain."""
+bit-compatible per-case DDPM noise chain.  Both sides run
+ref_vanilla=True: the capture pass is a standalone vanilla reference pass,
+so the lane implements the intent reference-stream semantics (the
+reference-exact head-parity self-modulation is per-case-mask-dependent and
+cannot be shared) — see EditConfig.ref_vanilla."""
 
 import dataclasses
 
@@ -64,7 +68,10 @@ def test_shared_loop_matches_per_case(method):
               local_text_edit=True, local_perturbation=True)
 
     # --- per-case deduped 3-stream references -----------------------------
-    ecfg3 = EditConfig(mode="edit", method=method)
+    # ref_vanilla: the shared lane's capture pass is a vanilla reference
+    # pass, so the per-case comparator must use the intent semantics too
+    # (see EditConfig.ref_vanilla / generation_shared_source docstring).
+    ecfg3 = EditConfig(mode="edit", method=method, ref_vanilla=True)
 
     def fn3(p, lat, t, emb, _e, st, extra=None):
         return model.apply(p, lat, t, emb, edit_cfg=ecfg3, edit_state=st)
@@ -81,7 +88,8 @@ def test_shared_loop_matches_per_case(method):
         want.append(np.asarray(out[0]))
 
     # --- shared-reference lane ---------------------------------------------
-    ecfg_s = EditConfig(mode="edit", method=method, shared_ref=True)
+    ecfg_s = EditConfig(mode="edit", method=method, shared_ref=True,
+                        ref_vanilla=True)
     cap_cfg = dataclasses.replace(none_config(), store_kv=True)
 
     def unet_edit(p, lat, t, emb, _e, st, extra=None):
