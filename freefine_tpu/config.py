@@ -162,7 +162,49 @@ class DiTConfig:
     depth: int = 28
     num_heads: int = 16
     cross_attention_dim: int = 768
+    # PixArt checkpoints predict [eps; sigma] (out 2*C); the forward returns
+    # the eps half, as the diffusers PixArt pipeline chunks it.
+    learn_sigma: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+
+
+def pixart_xl2_dit_config(
+    sample_size: int = 64, dtype: Optional[jnp.dtype] = None
+) -> DiTConfig:
+    """The published PixArt-XL-2 transformer geometry
+    (PixArt-alpha/PixArt-XL-2-512x512): depth 28, hidden 1152, 16 heads of
+    72, patch 2, T5-XXL 4096-d captions.  Checkpoint-loadable via
+    `weights.convert_pixart_transformer` (manifest
+    tests/fixtures/pixart_xl2_keys.txt)."""
+    return DiTConfig(
+        sample_size=sample_size,
+        cross_attention_dim=4096,
+        learn_sigma=True,
+        dtype=dtype or jnp.bfloat16,
+    )
+
+
+def pixart_pipeline_config(
+    height: int = 512, width: int = 512, dtype: Optional[jnp.dtype] = None
+) -> PipelineConfig:
+    """The checkpoint-complete PixArt-α-512 editing pipeline: the published
+    PixArt-XL-2 transformer (weights.convert_pixart_transformer), the SD
+    VAE, and the T5 v1.1 XXL caption tower (weights.convert_t5_encoder;
+    torch-parity-tested).  Load via `weights.load_pixart`."""
+    from freefine_tpu.models.t5 import T5Config
+
+    if height != width:
+        raise ValueError(
+            f"the DiT backbone is square-only; got {height}x{width}"
+        )
+    dtype = dtype or jnp.bfloat16
+    return PipelineConfig(
+        unet=pixart_xl2_dit_config(sample_size=height // 8, dtype=dtype),
+        vae=VAEConfig(dtype=dtype),
+        text=T5Config(dtype=dtype),
+        height=height,
+        width=width,
+    )
 
 
 def tiny_dit_config() -> DiTConfig:
@@ -205,6 +247,25 @@ def tiny_dit_pipeline_config(height: int = 64, width: int = 64) -> PipelineConfi
     """tiny_pipeline_config with the DiT backbone for CPU tests."""
     base = tiny_pipeline_config(height, width)
     return dataclasses.replace(base, unet=tiny_dit_config())
+
+
+def tiny_pixart_pipeline_config(height: int = 64, width: int = 64) -> PipelineConfig:
+    """Miniature PixArt-layout pipeline for CPU tests: tiny DiT with
+    learned sigma + tiny T5 caption tower (the pixart_pipeline_config
+    structure at unit-test scale)."""
+    from freefine_tpu.models.t5 import tiny_t5_config
+
+    base = tiny_pipeline_config(height, width)
+    t5 = tiny_t5_config()
+    return dataclasses.replace(
+        base,
+        unet=dataclasses.replace(
+            tiny_dit_config(),
+            learn_sigma=True,
+            cross_attention_dim=t5.d_model,
+        ),
+        text=t5,
+    )
 
 
 def tiny_pipeline_config(height: int = 64, width: int = 64) -> PipelineConfig:

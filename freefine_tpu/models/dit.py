@@ -22,11 +22,18 @@ Block gating: a DiT has no down/mid/up split; all blocks report
 reference's decoder-layer window (`start_layer=10` of 16, model.py:506)
 maps onto ``EditConfig.layer_range`` over the block list.
 
-Deviations (documented): the FF is the repo's GEGLU `FeedForward` rather
-than PixArt's tanh-GELU MLP, and positions are fixed 2-D sincos (PixArt
-base) — this backbone targets the framework's own editing stack, not a
-specific public checkpoint; a converter can pin exact PixArt parity when a
-checkpoint-capable host is available.
+Layout is PixArt-α-exact (diffusers `PixArtTransformer2DModel`, and the
+checkpoint converter `weights.convert_pixart_transformer`): tanh-GELU MLP
+feed-forward, biased q/k/v projections, AdaLN-single (shared 6·D timestep
+table + per-block `scale_shift_table`), final modulation from the RAW
+embedded timestep + top-level `scale_shift_table`, and the diffusers
+`get_2d_sincos_pos_embed` position table (x-coordinate sincos in the first
+half of the channel dim).  `pixart_xl2_dit_config()` is the published
+PixArt-XL-2-512x512 geometry (T5 4096-d captions); `dit_pipeline_config()`
+keeps the CLIP 768-d context for the self-contained editing lane (identical
+architecture, different caption width).  Not modelled: the 1024 model's
+resolution/aspect-ratio micro-conditioning embedders
+(`use_additional_conditions`; the 512 checkpoint does not use them).
 """
 
 from __future__ import annotations
@@ -41,20 +48,27 @@ from freefine_tpu.config import DiTConfig
 from freefine_tpu.edit import EditConfig, EditState, none_config
 from freefine_tpu.models.layers import (
     EditAttention,
-    FeedForward,
     TimestepEmbed,
 )
 
 
 def _sincos_2d(embed_dim: int, grid: int) -> np.ndarray:
-    """Fixed 2-D sin-cos position table [grid*grid, embed_dim] (DiT/MAE)."""
+    """Fixed 2-D sin-cos position table [grid*grid, embed_dim].
+
+    Matches diffusers `get_2d_sincos_pos_embed` (embeddings.py) for the
+    square PixArt grids (base_size = grid, interpolation_scale = 1): tokens
+    flattened row-major; the FIRST embed_dim/2 channels encode the x
+    (column) coordinate, the second half the y (row) coordinate — diffusers
+    meshgrids (w, h) and labels grid[0] "h", so its `emb_h` is actually the
+    column sincos.
+    """
     pos = np.arange(grid, dtype=np.float64)
     omega = 1.0 / 10000 ** (np.arange(embed_dim // 4) / (embed_dim / 4.0))
     out = np.einsum("p,d->pd", pos, omega)           # [grid, D/4]
     emb1 = np.concatenate([np.sin(out), np.cos(out)], axis=1)  # [grid, D/2]
-    h = np.repeat(emb1, grid, axis=0)                # row-major over (y, x)
-    w = np.tile(emb1, (grid, 1))
-    return np.concatenate([h, w], axis=1)            # [grid², D]
+    y = np.repeat(emb1, grid, axis=0)                # row coordinate
+    x = np.tile(emb1, (grid, 1))                     # column coordinate
+    return np.concatenate([x, y], axis=1)            # [grid², D]
 
 
 def _ln(x: jnp.ndarray, name: str) -> jnp.ndarray:
@@ -90,16 +104,26 @@ class DiTBlock(nn.Module):
          shift_mlp, scale_mlp, gate_mlp) = [mod[:, i:i + 1] for i in range(6)]
         h = _ln(x, "norm1") * (1 + scale_msa) + shift_msa
         x = x + gate_msa * EditAttention(
-            self.heads, is_cross=False, dtype=self.dtype, name="attn1"
+            self.heads, is_cross=False, dtype=self.dtype, qkv_bias=True,
+            name="attn1",
         )(h, edit_cfg=edit_cfg, edit_state=edit_state,
           block_index=block_index, place="up")
+        # PixArt applies cross-attention on the un-normed stream ("for
+        # PixArt norm2 isn't applied here", diffusers BasicTransformerBlock)
         x = x + EditAttention(
-            self.heads, is_cross=True, dtype=self.dtype, name="attn2"
+            self.heads, is_cross=True, dtype=self.dtype, qkv_bias=True,
+            name="attn2",
         )(x, context, edit_cfg=edit_cfg, edit_state=edit_state,
           block_index=block_index, place="up",
           context_extra=context_extra, context_image=context_image)
         h = _ln(x, "norm2") * (1 + scale_mlp) + shift_mlp
-        x = x + gate_mlp * FeedForward(dtype=self.dtype, name="ff")(h)
+        # PixArt FF: Dense(4D) -> tanh-GELU -> Dense(D)
+        # (diffusers FeedForward activation_fn="gelu-approximate")
+        dim_ff = 4 * dim
+        h = nn.Dense(dim_ff, dtype=self.dtype, name="ff_net_0_proj")(h)
+        h = nn.gelu(h, approximate=True)
+        h = nn.Dense(dim, dtype=self.dtype, name="ff_net_2")(h)
+        x = x + gate_mlp * h
         return x
 
 
@@ -171,21 +195,26 @@ class DiT2DCondition(nn.Module):
               block_index=i, context_extra=context_extra,
               context_image=context_image)
 
+        # PixArt final modulation: top-level scale_shift_table + the RAW
+        # embedded timestep (no learned projection) — diffusers
+        # PixArtTransformer2DModel.forward's `scale_shift_table[None] +
+        # embedded_timestep[:, None]`, chunked [shift, scale].
         final = self.param(
-            "final_scale_shift",
+            "scale_shift_table",
             nn.initializers.normal(cfg.hidden_size ** -0.5),
             (2, cfg.hidden_size), jnp.float32,
         )
-        t2 = nn.Dense(
-            2 * cfg.hidden_size, dtype=dtype, name="t_final"
-        )(nn.silu(temb)).reshape(b, 2, cfg.hidden_size)
-        fmod = (final[None] + t2.astype(jnp.float32)).astype(dtype)
+        fmod = (
+            final[None] + temb[:, None].astype(jnp.float32)
+        ).astype(dtype)
         x = _ln(x, "norm_final") * (1 + fmod[:, 1:2]) + fmod[:, 0:1]
+        # learn_sigma (PixArt checkpoints): the projection emits
+        # [eps; sigma] and the pipeline consumes the eps half (the diffusers
+        # PixArt pipeline's latent-channel chunk).
+        out_c = cfg.out_channels * (2 if cfg.learn_sigma else 1)
         x = nn.Dense(
-            p * p * cfg.out_channels, dtype=dtype, name="proj_out"
+            p * p * out_c, dtype=dtype, name="proj_out"
         )(x)
-        x = x.reshape(b, grid, grid, p, p, cfg.out_channels)
-        x = jnp.einsum("bhwpqc->bhpwqc", x).reshape(
-            b, hh, ww, cfg.out_channels
-        )
-        return x.astype(jnp.float32)
+        x = x.reshape(b, grid, grid, p, p, out_c)
+        x = jnp.einsum("bhwpqc->bhpwqc", x).reshape(b, hh, ww, out_c)
+        return x[..., : cfg.out_channels].astype(jnp.float32)

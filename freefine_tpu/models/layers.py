@@ -206,6 +206,9 @@ class EditAttention(nn.Module):
     heads: int
     is_cross: bool
     dtype: jnp.dtype = jnp.bfloat16
+    # SD UNets project q/k/v without bias; the PixArt DiT family with bias
+    # (diffusers Attention(bias=True) in PixArtTransformer2DModel blocks).
+    qkv_bias: bool = False
 
     @nn.compact
     def __call__(
@@ -222,9 +225,15 @@ class EditAttention(nn.Module):
     ):
         dim = x.shape[-1]
         ctx = x if context is None else context
-        q = nn.Dense(dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        to_k = nn.Dense(dim, use_bias=False, dtype=self.dtype, name="to_k")
-        to_v = nn.Dense(dim, use_bias=False, dtype=self.dtype, name="to_v")
+        q = nn.Dense(
+            dim, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q"
+        )(x)
+        to_k = nn.Dense(
+            dim, use_bias=self.qkv_bias, dtype=self.dtype, name="to_k"
+        )
+        to_v = nn.Dense(
+            dim, use_bias=self.qkv_bias, dtype=self.dtype, name="to_v"
+        )
         ctx_k = ctx
         if (
             edit_cfg.mode == "design"

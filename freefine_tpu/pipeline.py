@@ -462,7 +462,15 @@ class FreeFine:
         else:
             self.unet = UNet2DCondition(config=self.config.unet)
         self.vae = AutoencoderKL(config=self.config.vae)
-        self.text_encoder = CLIPTextEncoder(config=self.config.text)
+        from freefine_tpu.models.t5 import T5Config, T5Encoder
+
+        if isinstance(self.config.text, T5Config):
+            # PixArt lane: T5 caption tower (pixart_pipeline_config)
+            self.text_encoder = T5Encoder(config=self.config.text)
+            self._text_is_t5 = True
+        else:
+            self.text_encoder = CLIPTextEncoder(config=self.config.text)
+            self._text_is_t5 = False
         self.tokenizer = load_tokenizer(
             tokenizer_path,
             vocab_size=self.config.text.vocab_size,
@@ -560,9 +568,19 @@ class FreeFine:
 
     def encode_text(self, texts: Sequence[str]) -> jnp.ndarray:
         ids = jnp.asarray(self.tokenizer.batch_encode(list(texts)))
-        fn = self._jit(
-            "text", lambda p, i: self.text_encoder.apply(p["text"], i)
-        )
+        if self._text_is_t5:
+            # T5 pads with id 0; padded keys are masked out (the PixArt
+            # pipeline feeds the tokenizer attention_mask through)
+            fn = self._jit(
+                "text",
+                lambda p, i: self.text_encoder.apply(
+                    p["text"], i, (i != 0).astype(jnp.float32)
+                ),
+            )
+        else:
+            fn = self._jit(
+                "text", lambda p, i: self.text_encoder.apply(p["text"], i)
+            )
         return fn(self.params, ids)
 
     def image_to_latent(self, image: np.ndarray) -> jnp.ndarray:

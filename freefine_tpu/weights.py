@@ -85,7 +85,15 @@ def _flax_path_to_key(path) -> str:
     return ".".join(segs)
 
 
-_LEAF_MAP = {"kernel": "weight", "scale": "weight", "bias": "bias", "embedding": "weight"}
+_LEAF_MAP = {
+    "kernel": "weight",
+    "scale": "weight",
+    "bias": "bias",
+    "embedding": "weight",
+    # PixArt AdaLN-single tables are bare [6, D]/[2, D] params whose
+    # diffusers key carries no .weight suffix
+    "scale_shift_table": "scale_shift_table",
+}
 
 
 def _fetch(tensors: Dict[str, np.ndarray], key: str, leaf: str, shape, aliases=()):
@@ -194,6 +202,103 @@ _VAE_KEY_REWRITES = (
     (r"^decoder\.post_quant_conv$", "post_quant_conv"),
     (r"attentions\.0\.norm$", "attentions.0.group_norm"),
 )
+
+
+_PIXART_REWRITES = (
+    # flax module path (after _module_to_diffusers) -> diffusers
+    # PixArtTransformer2DModel key (PixArt-alpha/PixArt-XL-2-*)
+    (r"^patch_embed", "pos_embed.proj"),
+    (r"^time_embedding", "adaln_single.emb.timestep_embedder"),
+    (r"^t_block", "adaln_single.linear"),
+    (r"^caption_proj\.1", "caption_projection.linear_1"),
+    (r"^caption_proj\.2", "caption_projection.linear_2"),
+    (r"^blocks\.", "transformer_blocks."),
+    (r"ff_net\.0_proj", "ff.net.0.proj"),
+    (r"ff_net\.2", "ff.net.2"),
+)
+
+
+def convert_pixart_transformer(flax_params, tensors, dtype=None):
+    """diffusers PixArtTransformer2DModel state dict -> DiT2DCondition tree.
+
+    Layout: pos_embed.proj (patchify conv), adaln_single (timestep_embedder
+    + shared 6D linear), caption_projection, transformer_blocks.{i} with
+    scale_shift_table / attn1 / attn2 / ff.net.{0.proj,2}, top-level
+    scale_shift_table + proj_out.  The fixed sincos position table is
+    recomputed, not loaded (diffusers buffers it, non-persistent in recent
+    versions).  Manifest fixture: tests/fixtures/pixart_xl2_keys.txt."""
+    return {"params": _convert_tree(flax_params["params"], tensors,
+                                    key_rewrites=_PIXART_REWRITES,
+                                    dtype=dtype)}
+
+
+def convert_t5_encoder(flax_params, tensors, dtype=None):
+    """HF T5EncoderModel state dict -> models.t5.T5Encoder tree.
+
+    The PixArt caption tower (google/t5-v1_1-xxl `text_encoder` subfolder).
+    Bespoke mapping (T5's layer.{0,1} nesting doesn't fit the generic
+    diffusers walker): shared embedding, per-block SelfAttention q/k/v/o
+    (transposed OI->IO), gated FF wi_0/wi_1/wo, RMSNorm weights, and the
+    block-0 relative_attention_bias table shared by every layer.
+    Torch-parity-tested at tiny scale in tests/test_hf_parity.py."""
+    src = {k: np.asarray(v) for k, v in tensors.items()}
+
+    def g(key, leaf_dtype, transpose=False):
+        t = src[key]
+        if transpose:
+            t = t.T
+        return jnp.asarray(t, dtype or leaf_dtype)
+
+    ref = flax_params["params"]
+    f32 = jnp.float32
+    out = {
+        "shared": g("shared.weight", f32),
+        "relative_attention_bias": g(
+            "encoder.block.0.layer.0.SelfAttention"
+            ".relative_attention_bias.weight", f32,
+        ),
+        "final_layer_norm": {
+            "weight": g("encoder.final_layer_norm.weight", f32)
+        },
+    }
+    n = sum(1 for k in ref if k.startswith("block_"))
+    for i in range(n):
+        b = f"encoder.block.{i}"
+        blk_dtype = ref[f"block_{i}"]["attn"]["q"]["kernel"].dtype
+        out[f"block_{i}"] = {
+            "attn": {
+                x: {"kernel": g(
+                    f"{b}.layer.0.SelfAttention.{x}.weight", blk_dtype,
+                    transpose=True,
+                )}
+                for x in ("q", "k", "v", "o")
+            },
+            "norm_attn": {
+                "weight": g(f"{b}.layer.0.layer_norm.weight", f32)
+            },
+            "norm_ff": {
+                "weight": g(f"{b}.layer.1.layer_norm.weight", f32)
+            },
+            "wi_0": {"kernel": g(
+                f"{b}.layer.1.DenseReluDense.wi_0.weight", blk_dtype,
+                transpose=True,
+            )},
+            "wi_1": {"kernel": g(
+                f"{b}.layer.1.DenseReluDense.wi_1.weight", blk_dtype,
+                transpose=True,
+            )},
+            "wo": {"kernel": g(
+                f"{b}.layer.1.DenseReluDense.wo.weight", blk_dtype,
+                transpose=True,
+            )},
+        }
+    def _check(a, b):
+        if a.shape != b.shape:
+            raise ValueError(f"T5 shape mismatch {a.shape} vs {b.shape}")
+        return a
+
+    jax.tree_util.tree_map(_check, out, dict(ref))
+    return {"params": out}
 
 
 def convert_vae(flax_params, tensors, dtype=None):
@@ -387,6 +492,28 @@ def load_sd15(pipe, checkpoint_dir: str, dtype: Optional[jnp.dtype] = None) -> d
         "text": convert_text_encoder(pipe.params["text"], text_t, dtype),
     }
     return params
+
+
+def load_pixart(pipe, checkpoint_dir: str, dtype: Optional[jnp.dtype] = None) -> dict:
+    """Convert a diffusers PixArt-α checkpoint dir into freefine_tpu params.
+
+    `pipe` is a `FreeFine` built with `pixart_pipeline_config()` +
+    `init_random=True`.  Expects
+    `checkpoint_dir/{transformer,vae,text_encoder}/*.safetensors`
+    (the published PixArt-alpha/PixArt-XL-2-512x512 layout: PixArt
+    transformer + SD VAE + T5-XXL encoder).  Topology pinned by
+    tests/test_weight_manifest.py (transformer) and
+    tests/test_hf_parity.py::test_t5_encoder_parity_vs_transformers."""
+    tr_t = _load_safetensors_dir(os.path.join(checkpoint_dir, "transformer"))
+    vae_t = _load_safetensors_dir(os.path.join(checkpoint_dir, "vae"))
+    text_t = _load_safetensors_dir(
+        os.path.join(checkpoint_dir, "text_encoder")
+    )
+    return {
+        "unet": convert_pixart_transformer(pipe.params["unet"], tr_t, dtype),
+        "vae": convert_vae(pipe.params["vae"], vae_t, dtype),
+        "text": convert_t5_encoder(pipe.params["text"], text_t, dtype),
+    }
 
 
 _SDXL_UNET_REWRITES = (

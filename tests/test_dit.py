@@ -185,3 +185,25 @@ def test_guided_generation_rejects_dit(dit_pipe, dit_case):
             ori_img=img, ori_mask=m, coarse_input=coarse, target_mask=tm,
             guidance_text="a cat", num_step=4, start_step=2,
         )
+
+
+def test_pixart_pipeline_lane_runs():
+    """The checkpoint-complete PixArt layout (tiny): T5 caption tower +
+    learned-sigma DiT through the full generation entry point."""
+    from freefine_tpu.config import tiny_pixart_pipeline_config
+
+    pipe = FreeFine(config=tiny_pixart_pipeline_config(), init_random=True)
+    assert pipe._text_is_t5
+    cfg = pipe.config
+    h, w = cfg.height, cfg.width
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    coarse = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    m = np.zeros((h, w), np.uint8); m[10:30, 10:30] = 255
+    tm = np.zeros((h, w), np.uint8); tm[20:40, 20:40] = 255
+    out = pipe.generation(
+        ori_img=img, ori_mask=m, coarse_input=coarse, target_mask=tm,
+        guidance_text="a cat", num_step=4, start_step=2, end_step=4,
+        use_auto_draw=True, cons_area=np.zeros((h, w), np.uint8),
+    )
+    assert out.shape == (h, w, 3) and np.isfinite(np.asarray(out)).all()

@@ -444,3 +444,48 @@ def test_open_clip_text_parity_vs_transformers():
         want = hf(torch.tensor(ids.astype(np.int64))).text_embeds.numpy()
     got = np.asarray(model.apply(params, jnp.asarray(ids)))
     np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+@pytest.mark.slow
+def test_t5_encoder_parity_vs_transformers():
+    """The PixArt caption tower: T5 v1.1 encoder (gated-gelu, relative
+    position bias, no attention scaling) vs transformers T5EncoderModel at
+    tiny scale through convert_t5_encoder."""
+    from transformers import T5Config as HFT5Config
+    from transformers import T5EncoderModel
+
+    from freefine_tpu.models.t5 import T5Encoder, tiny_t5_config
+
+    cfg = tiny_t5_config()
+    hf_cfg = HFT5Config(
+        vocab_size=cfg.vocab_size, d_model=cfg.d_model, d_kv=cfg.d_kv,
+        num_heads=cfg.num_heads, d_ff=cfg.d_ff, num_layers=cfg.num_layers,
+        relative_attention_num_buckets=cfg.relative_attention_num_buckets,
+        relative_attention_max_distance=cfg.relative_attention_max_distance,
+        feed_forward_proj="gated-gelu", dense_act_fn="gelu_new",
+        is_gated_act=True, tie_word_embeddings=False, dropout_rate=0.0,
+    )
+    torch.manual_seed(0)
+    hf = T5EncoderModel(hf_cfg).eval()
+    tensors = {k: v.numpy() for k, v in hf.state_dict().items()}
+
+    model = T5Encoder(config=cfg)
+    rng = np.random.RandomState(1)
+    ids = rng.randint(0, cfg.vocab_size, (2, 12)).astype(np.int32)
+    mask = np.ones((2, 12), np.int32)
+    mask[0, 9:] = 0
+    mask[1, 5:] = 0
+
+    params = model.init(jax.random.key(0), jnp.asarray(ids))
+    params = W.convert_t5_encoder(params, tensors)
+
+    got = np.asarray(
+        model.apply(params, jnp.asarray(ids), jnp.asarray(mask))
+    )
+    with torch.no_grad():
+        want = hf(
+            input_ids=torch.from_numpy(ids).long(),
+            attention_mask=torch.from_numpy(mask).long(),
+        ).last_hidden_state.numpy()
+    # padded positions still produce hidden states in both; compare all
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
