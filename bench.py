@@ -104,6 +104,18 @@ def main():
                     help="DiT backbone at 512^2 (the other half of the "
                          "reference's backbone-swap TODO): PixArt-XL "
                          "geometry, 1024 tokens, same editing semantics")
+    ap.add_argument("--mesh", type=str, default=None,
+                    help="serve on a (data x model) device mesh, e.g. "
+                         "'data=4,model=2' (FreeFine.use_mesh: TP-sharded "
+                         "params, case batch over 'data'; pair with "
+                         "--batch >= data). Single-chip hosts: validated "
+                         "by __graft_entry__.dryrun_multichip on a "
+                         "virtual CPU mesh.")
+    ap.add_argument("--sp", action="store_true",
+                    help="with --mesh model>1: shard long self-attention "
+                         "sequences over the model axis "
+                         "(sequence-parallel allgather-KV; SDXL@1024^2 "
+                         "S=4096 lanes)")
     ap.add_argument("--weights-dtype", choices=["f32", "bf16"],
                     default="bf16",
                     help="param storage dtype (default bf16 — the serving "
@@ -152,6 +164,8 @@ def main():
         pipe = FreeFine(config=cfg, params={})
 
     pipe.params = _random_params_fast(pipe, weights_dtype)
+    if args.mesh:
+        pipe.use_mesh(args.mesh, sequence_parallel=args.sp)
 
     h, w = cfg.height, cfg.width
     rng = np.random.default_rng(42)

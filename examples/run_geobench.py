@@ -44,6 +44,18 @@ def main():
                     help="param storage dtype after checkpoint load "
                          "(bf16 = the serving layout, halves weight HBM "
                          "traffic; f32 = the golden-comparison layout)")
+    ap.add_argument("--shared", action="store_true",
+                    help="shared-reference batched lane: group edits of "
+                         "the same GeoBench source instance (da_n/ins_id) "
+                         "and run the reference stream once per group "
+                         "(generation_shared_source; intent reference-"
+                         "stream semantics, see EditConfig.ref_vanilla). "
+                         "Requires --batch-size > 1 to pay off.")
+    ap.add_argument("--mesh", default=None,
+                    help="serve on a (data x model) device mesh, e.g. "
+                         "'data=4,model=2' (FreeFine.use_mesh): TP-sharded "
+                         "params, batched cases over 'data'. Pair with "
+                         "--batch-size >= data.")
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
 
@@ -72,6 +84,8 @@ def main():
         from freefine_tpu.weights import cast_params_for_inference
 
         pipe.params = cast_params_for_inference(pipe.params)
+    if args.mesh:
+        pipe.use_mesh(args.mesh)
 
     if args.task == "bggen":
         ann = os.path.join(args.dst_base, f"annotations_{args.bench}.json")
@@ -91,6 +105,7 @@ def main():
         guidance_scale=args.guidance_scale, eta=args.eta, seed=args.seed,
         inp_img_dir=args.inp_img_dir, max_cases=args.max_cases,
         bench=args.bench, batch_size=args.batch_size,
+        shared_source=args.shared,
     )
 
 

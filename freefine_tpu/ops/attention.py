@@ -172,6 +172,44 @@ def sdpa(
     return merge_heads(out).astype(dtype)
 
 
+# Sequence-parallel serving hook (parallel/serve.py): when a mesh is
+# registered, long self-attention sequences route through
+# sp.sequence_parallel_sdpa — the token axis sharded over 'model', K/V and
+# mask rows allgathered over ICI.  (mesh, model_axis, min_seq) or None.
+_SP_SERVING = None
+_SP_ACTIVE = False  # re-entry guard: the per-shard body calls masked_sdpa
+
+
+def set_sequence_parallel(mesh, model_axis: str = "model",
+                          min_seq: int = 2048) -> None:
+    """Enable (mesh is not None) or disable (None) sequence-parallel
+    routing of `masked_sdpa` for self-attention with seq >= min_seq.
+    Production entry: FreeFine.use_mesh(..., sequence_parallel=True)."""
+    global _SP_SERVING
+    _SP_SERVING = None if mesh is None else (mesh, model_axis, min_seq)
+
+
+def _maybe_sequence_parallel(q, k, v, heads, key_rows):
+    """Route through parallel.sp when registered and applicable."""
+    global _SP_ACTIVE
+    if _SP_SERVING is None or _SP_ACTIVE:
+        return None
+    mesh, axis, min_seq = _SP_SERVING
+    n = mesh.shape[axis]
+    sq, sk = q.shape[1], k.shape[1]
+    if sq < min_seq or sq != sk or sq % n or sk % n or n == 1:
+        return None
+    from freefine_tpu.parallel import sp
+
+    _SP_ACTIVE = True
+    try:
+        return sp.sequence_parallel_sdpa(
+            q, k, v, heads, mesh, key_rows=key_rows, model_axis=axis
+        )
+    finally:
+        _SP_ACTIVE = False
+
+
 def masked_sdpa(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -182,8 +220,13 @@ def masked_sdpa(
     """Attention with an optional per-key [B, Sk] 0/1 mask.
 
     Routes to the Pallas flash kernel on TPU (O(S) memory, fused bias),
-    einsum elsewhere — both numerically equivalent (golden-tested).
+    einsum elsewhere — both numerically equivalent (golden-tested).  Under
+    a registered serving mesh (`set_sequence_parallel`), long sequences
+    shard the token axis over the 'model' axis first (parallel/sp.py).
     """
+    sp_out = _maybe_sequence_parallel(q, k, v, heads, key_rows)
+    if sp_out is not None:
+        return sp_out
     sq, sk = q.shape[1], k.shape[1]
     pad_q, pad_k = (-sq) % 128, (-sk) % 128
     if _use_flash(sq + pad_q, sk + pad_k):

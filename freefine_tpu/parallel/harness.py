@@ -333,6 +333,11 @@ def run_geobench_inference(
             guidance_scale=guidance_scale, eta=eta, seed=seed,
             batch_size=batch_size, max_cases=max_cases, progress=progress,
         )
+    if shared_source and batch_size <= 1:
+        raise ValueError(
+            "shared_source groups edits of one source instance into a "
+            "batched device step; pass batch_size > 1"
+        )
     if start_step is None:
         # protocol defaults at 50 steps (35 for 2D, 15 for 3D), scaled
         # proportionally for short smoke runs
@@ -420,23 +425,42 @@ def run_geobench_inference(
 
         batched = BatchedFreeFine(pipe)
         done = 0
-        groups = [
-            my_cases[b0 : b0 + batch_size]
-            for b0 in range(0, len(my_cases), batch_size)
-        ]
+        if shared_source:
+            # Group edits of the SAME source instance (GeoBench keys each
+            # case by da_n/ins_id, ~10 edits per instance) so the shared-
+            # reference lane inverts and runs the reference stream once per
+            # group (pipeline.generation_shared_source).
+            by_src: Dict = {}
+            for c in my_cases:
+                by_src.setdefault((c["da_n"], c["ins_id"]), []).append(c)
+            groups = [
+                g[b0 : b0 + batch_size]
+                for g in by_src.values()
+                for b0 in range(0, len(g), batch_size)
+            ]
+        else:
+            groups = [
+                my_cases[b0 : b0 + batch_size]
+                for b0 in range(0, len(my_cases), batch_size)
+            ]
         for group, loaded in zip(
             groups, _prefetch(groups, lambda g: [load_case(c) for c in g])
         ):
             group_t0 = time.time()
             padded = loaded + [loaded[-1]] * (batch_size - len(loaded))
-            outs = batched.generation(
-                padded, guidance_scale=guidance_scale, eta=eta,
+            gen_kwargs = dict(
+                guidance_scale=guidance_scale, eta=eta,
                 num_step=num_step, start_step=start_step,
                 end_step=num_step, end_scale=0.0, method_type="tca",
                 use_auto_draw=(task != "3d"), reduce_inp_artifacts=True,
                 # every case gets key(seed) — the exact RNG the batch-1
                 # protocol lane uses (reference fixes seed=42 per case)
                 seed=[seed] * len(padded),
+            )
+            outs = (
+                batched.generation_shared_source(padded, **gen_kwargs)
+                if shared_source else
+                batched.generation(padded, **gen_kwargs)
             )
             per_case = (time.time() - group_t0) / len(group)
             for case, out in zip(group, outs):

@@ -486,6 +486,7 @@ class FreeFine:
         self.params = params
         self._jit_cache = {}
         self._schedules = {}
+        self.serving = None  # set by use_mesh (parallel/serve.py)
         # Backbone-appropriate TCA layer window: the (10, 16) default is the
         # SD-UNet's global attention indexing (16 blocks, late-decoder window
         # 10..15 = reference start_layer=10, attention.py:656-658).  A DiT
@@ -502,6 +503,44 @@ class FreeFine:
         """EditConfig with the backbone-appropriate default layer_range."""
         kw.setdefault("layer_range", self._layer_range)
         return EditConfig(**kw)
+
+    def use_mesh(
+        self,
+        spec: str = "data=1,model=1",
+        devices=None,
+        strict: bool = True,
+        sequence_parallel: bool = False,
+        sp_min_seq: int = 2048,
+    ) -> "FreeFine":
+        """Serve this pipeline on a (data x model) device mesh.
+
+        Commits the denoiser params with the Megatron-style TP layout
+        (parallel/tp.py; strict — unrecognised projection names raise) and
+        the VAE/text towers replicated; the batched lanes then shard their
+        case-stacked inputs over 'data' (parallel/serve.py), and — when
+        `sequence_parallel` — self-attention sequences >= sp_min_seq shard
+        the token axis over 'model' (parallel/sp.py allgather-KV).  All
+        existing entry points work unchanged: jit adopts the committed
+        shardings.  Replaces the reference's torchrun case-DP
+        (freefine_batch_infer_2d.py:141-145) and extends it with the
+        intra-model axes.  Returns self.
+        """
+        from freefine_tpu.ops.attention import set_sequence_parallel
+        from freefine_tpu.parallel.serve import build_serving
+
+        self.serving = build_serving(spec, devices=devices)
+        placed = {}
+        for name, tree in self.params.items():
+            placed[name] = self.serving.shard_params(
+                tree, strict=strict and name == "unet"
+            )
+        self.params = placed
+        self._jit_cache.clear()
+        set_sequence_parallel(
+            self.serving.mesh if sequence_parallel else None,
+            min_seq=sp_min_seq,
+        )
+        return self
 
     # -- setup ---------------------------------------------------------------
 
@@ -1190,6 +1229,14 @@ class BatchedFreeFine:
     def __init__(self, pipe: "FreeFine"):
         self.pipe = pipe
 
+    def _put_cases(self, *arrays):
+        """Commit case-stacked args onto the serving mesh's 'data' axis
+        (no-op without use_mesh)."""
+        s = self.pipe.serving
+        if s is None:
+            return arrays if len(arrays) > 1 else arrays[0]
+        return s.put_cases(*arrays)
+
     # -- shared prep -----------------------------------------------------
 
     def _encode_images(self, images: np.ndarray) -> jnp.ndarray:
@@ -1314,6 +1361,11 @@ class BatchedFreeFine:
             )
         rngs = _case_rngs(seed, n)
         with tm.stage("edit"):
+            lat2, text2, text3, states, cfg_masks, var_masks, rngs = (
+                self._put_cases(
+                    lat2, text2, text3, states, cfg_masks, var_masks, rngs
+                )
+            )
             out = pipe._jit_cache[key](
                 pipe.params, lat2, text2, text3,
                 states, jnp.asarray(cg), jnp.asarray(gates),
@@ -1422,6 +1474,11 @@ class BatchedFreeFine:
             pipe._jit_cache[key] = jax.jit(fn)
         rngs = _case_rngs(seed, n)
         with tm.stage("edit"):
+            lat_coarse, text_pair, states, cfg_masks, var_masks, rngs = (
+                self._put_cases(
+                    lat_coarse, text_pair, states, cfg_masks, var_masks, rngs
+                )
+            )
             out = pipe._jit_cache[key](
                 pipe.params, lat_coarse, lat_ref, uncond, text_pair,
                 states, jnp.asarray(cg), jnp.asarray(gates),
@@ -1509,6 +1566,9 @@ class BatchedFreeFine:
             )
         rngs = _case_rngs(seed, n)
         with tm.stage("edit"):
+            lat1, text1, text3, states, lvars, rngs = self._put_cases(
+                lat1, text1, text3, states, lvars, rngs
+            )
             out = pipe._jit_cache[key](
                 pipe.params, lat1, text1, text3,
                 states, jnp.asarray(cg), jnp.asarray(gates),
@@ -1636,6 +1696,12 @@ class BatchedFreeFine:
             uncond[None, None], (n, ns + 1) + uncond.shape
         )
         with tm.stage("edit"):
+            lats, text_inv, text_emb, states, cfg_masks, var_masks, rngs = (
+                self._put_cases(
+                    lats, text_inv, text_emb, states, cfg_masks, var_masks,
+                    rngs,
+                )
+            )
             out = pipe._jit_cache[key](
                 pipe.params, lats, text_inv, text_emb, text_extra,
                 states, jnp.asarray(cg), jnp.asarray(gates),

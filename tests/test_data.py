@@ -312,3 +312,33 @@ def test_prefetch_order_depth_and_errors():
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+@pytest.mark.slow
+def test_harness_end_to_end_shared_source(tmp_path):
+    """shared_source=True groups edits of one da_n/ins_id through
+    generation_shared_source (the reference stream runs once per group)."""
+    from freefine_tpu.config import tiny_pipeline_config
+    from freefine_tpu.parallel.harness import run_geobench_inference
+    from freefine_tpu.pipeline import FreeFine
+
+    ann, _ = _mini_annotations(tmp_path, n_da=1, n_ins=1, n_edit=3)
+    pipe = FreeFine(config=tiny_pipeline_config(), init_random=True)
+    with pytest.raises(ValueError, match="batch_size"):
+        run_geobench_inference(
+            pipe, ann, str(tmp_path), task="2d", num_step=4, start_step=2,
+            shared_source=True, progress=lambda s: None,
+        )
+    merged = run_geobench_inference(
+        pipe, ann, str(tmp_path), task="2d",
+        num_step=4, start_step=2, batch_size=2, shared_source=True,
+        progress=lambda s: None,
+    )
+    assert merged is not None
+    paths = [
+        v["gen_img_path"]
+        for da in merged.values()
+        for ins in da["instances"].values()
+        for v in ins.values()
+    ]
+    assert len(paths) == 3 and all(osp.exists(p) for p in paths)
