@@ -127,10 +127,14 @@ def geodiff_warp(
     # pose = T(c) @ M @ T(-c): p' = R (p - c) + t + c
     pt = (p - center) @ rot3.T + tr3 + center
 
-    # re-projection (warp_utils.cam2pixel_vanilla:599-646)
+    # re-projection (warp_utils.cam2pixel_vanilla:599-646).  K is applied
+    # BEFORE the z-clamp, so the principal-point term rides the un-clamped
+    # z: u = (f x + cx z) / max(z, 1e-3) — identical to x f / z + cx for
+    # valid depths, but reference-exact for points clamped behind the
+    # camera (golden-pinned in test_reference_golden_warp.py)
     zt = jnp.maximum(pt[:, 2], 1e-3)
-    u = pt[:, 0] * f / zt + cx   # X / Z of K @ p'
-    v = pt[:, 1] * f / zt + cy
+    u = (pt[:, 0] * f + cx * pt[:, 2]) / zt
+    v = (pt[:, 1] * f + cy * pt[:, 2]) / zt
     coords_abs = jnp.stack([u, v], -1).reshape(h, w, 2)
 
     # softmax-z bilinear splat of [rgb, mask] over the full image
