@@ -97,17 +97,16 @@ def make_clip_encoder(params) -> Callable[[np.ndarray], np.ndarray]:
     import jax
     import jax.numpy as jnp
 
-    from freefine_tpu.models.clip_image import (
-        CLIPImageEncoder,
-        clip_vit_b32,
-        preprocess_clip,
-    )
+    from freefine_tpu.metrics.preprocess import clip_image_transform
+    from freefine_tpu.models.clip_image import CLIPImageEncoder, clip_vit_b32
 
     model = CLIPImageEncoder(clip_vit_b32())
     apply = jax.jit(lambda p, x: model.apply(p, x))
 
     def encode(img: np.ndarray) -> np.ndarray:
-        x = preprocess_clip(jnp.asarray(img.astype(np.uint8)))
+        # PIL-backed host preprocess — bit-exact with clip.load's
+        # transform (background_consistency.py:41)
+        x = jnp.asarray(clip_image_transform(img))
         return np.asarray(apply(params, x))[0]
 
     return encode
@@ -130,15 +129,15 @@ def make_dino_encoder(params, config=None) -> Callable[[np.ndarray], np.ndarray]
     )
     model = DINOv2(cfg)
     apply = jax.jit(lambda p, x: model.apply(p, x)[1])
-    mean = jnp.asarray([0.485, 0.456, 0.406])
-    std = jnp.asarray([0.229, 0.224, 0.225])
-    size = 224 - (224 % cfg.patch_size)
 
     def encode(img: np.ndarray) -> np.ndarray:
-        x = jnp.asarray(img.astype(np.float32)) / 255.0
-        x = jax.image.resize(x, (size, size, 3), method="bicubic")
-        x = (x - mean) / std
-        return np.asarray(apply(params, x[None]))[0]
+        # PIL-backed host preprocess — the reference SUBC chain
+        # (subject_consistency.py:11-15: Resize(224) BILINEAR + ImageNet
+        # norm, no crop; GeoBench images are square so this is 224²)
+        from freefine_tpu.metrics.preprocess import dino_subc_transform
+
+        x = dino_subc_transform(img)
+        return np.asarray(apply(params, jnp.asarray(x)))[0]
 
     return encode
 
@@ -157,19 +156,16 @@ def make_dino_batch_encoder(params, config=None):
     )
     model = DINOv2(cfg)
     apply = jax.jit(lambda p, x: model.apply(p, x)[1])
-    mean = np.asarray([0.485, 0.456, 0.406], np.float32)
-    std = np.asarray([0.229, 0.224, 0.225], np.float32)
-    size = 224 - (224 % cfg.patch_size)
-
-    def preprocess(img: np.ndarray) -> np.ndarray:
-        x = jnp.asarray(img.astype(np.float32)) / 255.0
-        x = jax.image.resize(x, (size, size, 3), method="bicubic")
-        return (np.asarray(x) - mean) / std
 
     def encode_batch(batch: np.ndarray) -> np.ndarray:
         return np.asarray(apply(params, jnp.asarray(batch)))
 
     def prep_one(img: np.ndarray) -> np.ndarray:
-        return preprocess(img)[None]
+        # the FID family's shared input chain (the reference's modified
+        # FID/fid_score.py:124): Resize((224, 224)) BILINEAR + ImageNet
+        # norm — PIL-backed for exact parity
+        from freefine_tpu.metrics.preprocess import fid_input_transform
+
+        return fid_input_transform(img)
 
     return encode_batch, prep_one

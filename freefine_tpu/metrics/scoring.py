@@ -50,11 +50,8 @@ def make_hps_encoders(image_params, text_params, tokenizer):
     import jax
     import jax.numpy as jnp
 
-    from freefine_tpu.models.clip_image import (
-        CLIPImageEncoder,
-        clip_vit_h14,
-        preprocess_clip,
-    )
+    from freefine_tpu.metrics.preprocess import clip_image_transform
+    from freefine_tpu.models.clip_image import CLIPImageEncoder, clip_vit_h14
     from freefine_tpu.models.open_clip_text import OpenCLIPText, open_clip_text_h14
 
     img_model = CLIPImageEncoder(clip_vit_h14())
@@ -63,7 +60,9 @@ def make_hps_encoders(image_params, text_params, tokenizer):
     txt_apply = jax.jit(lambda p, i: txt_model.apply(p, i))
 
     def encode_image(img):
-        x = preprocess_clip(jnp.asarray(img.astype(np.uint8)))
+        # hpsv2's open_clip preprocess_val == the OpenAI CLIP transform
+        # at 224² (human_preference_score.py:12-29) — PIL-backed host path
+        x = jnp.asarray(clip_image_transform(img))
         return np.asarray(img_apply(image_params, x))[0]
 
     def encode_text(prompt):
@@ -79,11 +78,11 @@ def make_irs_scorer(params, tokenizer=None):
     import jax
     import jax.numpy as jnp
 
+    from freefine_tpu.metrics.preprocess import clip_image_transform
     from freefine_tpu.models.blip import (
         BlipConfig,
         HashWordTokenizer,
         ImageReward,
-        preprocess_blip,
     )
 
     model = ImageReward(BlipConfig())
@@ -91,7 +90,10 @@ def make_irs_scorer(params, tokenizer=None):
     apply = jax.jit(lambda p, im, ids, m: model.apply(p, im, ids, m))
 
     def score(img: np.ndarray, prompt: str) -> float:
-        x = preprocess_blip(jnp.asarray(img.astype(np.uint8)))
+        # ImageReward-v1.0 preprocesses with the OpenAI CLIP transform
+        # (`_transform(224)`: BICUBIC short-side resize + center crop +
+        # CLIP-constant norm) — PIL-backed host path
+        x = jnp.asarray(clip_image_transform(img))
         ids, mask = tok.encode(prompt)
         return float(apply(params, x, jnp.asarray(ids)[None],
                            jnp.asarray(mask)[None])[0])

@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -146,10 +147,24 @@ class InceptionE(nn.Module):
 
 
 class InceptionV3FID(nn.Module):
-    """[B, 299, 299, 3] in [0, 1] -> [B, 2048] pool3 features."""
+    """[B, h, w, 3] -> [B, 2048] pool3 features.
+
+    Inputs not already 299² are upsampled in-model (pytorch-fid
+    resize_input); the canonical reference feed is `preprocess_fid`'s
+    224² ImageNet-normalised tensor."""
 
     @nn.compact
     def __call__(self, x):
+        if x.shape[1] != 299 or x.shape[2] != 299:
+            # pytorch-fid resize_input: F.interpolate(size=299, bilinear,
+            # align_corners=False) — half-pixel, NO antialias (the
+            # reference feeds it 224² ImageNet-normalised tensors,
+            # FID/fid_score.py:124; torch-parity-tested in
+            # tests/test_metric_preprocessing.py)
+            x = jax.image.resize(
+                x, (x.shape[0], 299, 299, x.shape[3]), method="bilinear",
+                antialias=False,
+            )
         x = 2.0 * x - 1.0  # pytorch-fid normalize_input
         x = BNConv(32, (3, 3), strides=(2, 2), name="Conv2d_1a_3x3")(x)
         x = BNConv(32, (3, 3), name="Conv2d_2a_3x3")(x)
@@ -172,9 +187,12 @@ class InceptionV3FID(nn.Module):
         return x.mean(axis=(1, 2))  # adaptive avg pool -> [B, 2048]
 
 
-def preprocess_fid(img_uint8: jnp.ndarray) -> jnp.ndarray:
-    """uint8 [H, W, 3] -> [1, 299, 299, 3] in [0, 1], bilinear resize
-    (pytorch-fid resizes with bilinear when resize_input=True)."""
-    x = img_uint8.astype(jnp.float32) / 255.0
-    x = jax.image.resize(x, (299, 299, 3), method="bilinear")
-    return x[None]
+def preprocess_fid(img_uint8) -> jnp.ndarray:
+    """uint8 [H, W, 3] -> [1, 224, 224, 3] ImageNet-normalised — the
+    reference FID stack's own input chain (its modified
+    FID/fid_score.py:122-124 applies Resize((224, 224)) + ImageNet
+    normalise before EVERY FID-family model); the model upsamples to 299
+    internally (pytorch-fid resize_input)."""
+    from freefine_tpu.metrics.preprocess import fid_input_transform
+
+    return jnp.asarray(fid_input_transform(np.asarray(img_uint8)))

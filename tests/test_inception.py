@@ -33,10 +33,14 @@ def test_intermediate_grid_sizes(inception):
 
 
 def test_preprocess(rng_np):
+    """preprocess_fid yields the reference chain's 224² ImageNet-normalised
+    tensor (fid_score.py:122-124); the model upsamples to 299 internally.
+    Exact recipe parity lives in tests/test_metric_preprocessing.py."""
     img = rng_np.integers(0, 255, (64, 48, 3)).astype(np.uint8)
-    x = preprocess_fid(jnp.asarray(img))
-    assert x.shape == (1, 299, 299, 3)
-    assert 0.0 <= float(x.min()) and float(x.max()) <= 1.0
+    x = preprocess_fid(img)
+    assert x.shape == (1, 224, 224, 3)
+    # ImageNet-normalised range, not [0, 1]
+    assert float(x.min()) < 0.0 and float(x.max()) > 1.0
 
 
 def test_batched_features_and_fid(tmp_path, rng_np, inception):
