@@ -127,6 +127,25 @@ def shift_latent(x: jnp.ndarray, op: str, scale: float) -> jnp.ndarray:
     raise ValueError(op)
 
 
+def shift_latent_dynamic(
+    x: jnp.ndarray, ky: jnp.ndarray, kx: jnp.ndarray
+) -> jnp.ndarray:
+    """Traced-offset zero-fill shift: equals `shift_latent` composed over
+    the down(+)/up(-) and right(+)/left(-) ops with k = ky / kx pixels,
+    but with the offsets as runtime values — ONE compile serves every
+    (dx, dy) case, which is what makes the case-batched move lane jit-able
+    (the reference recompiles nothing because it never jits;
+    DesignEdit/models/attention.py mv_op equivalent)."""
+    h, w = x.shape[1], x.shape[2]
+    rows = jnp.arange(h)[None, :, None, None]
+    cols = jnp.arange(w)[None, None, :, None]
+    x = jnp.roll(x, ky, axis=1)
+    x = jnp.roll(x, kx, axis=2)
+    valid_r = jnp.where(ky >= 0, rows >= ky, rows < h + ky)
+    valid_c = jnp.where(kx >= 0, cols >= kx, cols < w + kx)
+    return x * (valid_r & valid_c).astype(x.dtype)
+
+
 def _quantile_threshold(delta: jnp.ndarray, q: float) -> jnp.ndarray:
     """Global |delta| quantile (sdxl.py:894-898)."""
     return jnp.quantile(jnp.abs(delta).reshape(-1), q)
@@ -161,8 +180,11 @@ class DesignEdit:
 
     # -- jitted denoise -------------------------------------------------------
 
-    def _denoise(self, steps: int, n_streams: int, ops_key: Tuple,
+    def _denoise(self, steps: int, n_streams: int, ops_key: Optional[Tuple],
                  guidance_scale: float):
+        """ops_key: static (op, scale) list baked into the program, or
+        None for the traced-shift variant (`run` then takes an extra
+        `shift` [2] int32 (ky, kx) argument — the case-batchable lane)."""
         key = ("denoise", steps, n_streams, ops_key, guidance_scale)
         if key in self._cache:
             return self._cache[key]
@@ -173,10 +195,11 @@ class DesignEdit:
             mode="design", method=None, local_cfg=False,
             num_streams=2 * n, kv_source_stream=n + 1,
         )
-        op_list = list(ops_key)
+        dynamic_move = ops_key is None
+        op_list = [] if dynamic_move else list(ops_key)
 
         def run(params, lat, ctx2, remove_mask, attn_keep, refine_keep,
-                fg_mask, targets, gates):
+                fg_mask, targets, gates, shift=None):
             """lat [n, lh, lw, 4]; ctx2 conditioning for 2n streams;
             remove_mask [lh, lw] (1 = hole); attn_keep / refine_keep
             {seq: [S]} pyramids (refine_keep additionally excludes the SC
@@ -239,10 +262,14 @@ class DesignEdit:
                 if n > 3:
                     fg = x_new[3:4]
                     fgm = fg_mask[None, :, :, None]
-                    for op, scale in op_list:
-                        if scale:
-                            fg = shift_latent(fg, op, scale)
-                            fgm = shift_latent(fgm, op, scale)
+                    if dynamic_move:
+                        fg = shift_latent_dynamic(fg, shift[0], shift[1])
+                        fgm = shift_latent_dynamic(fgm, shift[0], shift[1])
+                    else:
+                        for op, scale in op_list:
+                            if scale:
+                                fg = shift_latent(fg, op, scale)
+                                fgm = shift_latent(fgm, op, scale)
                     composed = x_new.at[2].set(
                         x_new[1] * (1.0 - fgm[0]) + fg[0] * fgm[0]
                     )
@@ -255,7 +282,15 @@ class DesignEdit:
             )
             return out
 
-        self._cache[key] = (schedule, jax.jit(run))
+        if dynamic_move:
+            # case-batched lane: vmap over a leading case axis (params
+            # broadcast, gates shared across cases)
+            batched = jax.jit(jax.vmap(
+                run, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, None, 0)
+            ))
+            self._cache[key] = (schedule, batched)
+        else:
+            self._cache[key] = (schedule, jax.jit(run))
         return self._cache[key]
 
     # -- shared driver --------------------------------------------------------
@@ -390,3 +425,80 @@ class DesignEdit:
             [image, image], mask, [0, 0, 0, 1], prompt,
             fg_mask_px=mask, op_list=ops, out_stream=2, steps=steps,
         )
+
+    def move_batch(self, images, masks, moves, prompts,
+                   steps: int = 50, guidance_scale: float = 7.5,
+                   blend_end: int = 41, mask_end: int = 40,
+                   recon_t: int = 400):
+        """Case-batched `move`: one inversion scan + one denoise scan over
+        a leading case axis (jit(vmap)), with the per-case (dx, dy) as
+        traced pixel offsets (`shift_latent_dynamic`) so every case shares
+        ONE compiled program — the GeoBench batching the reference's
+        per-case loop (DesignEdit/eval_geobench.py) never had.
+
+        images/masks: [B] uint8 arrays; moves: [B] (dx, dy) fractions of
+        the image size (positive = right / up, the `move` convention);
+        prompts: [B] strings.  Returns [B] uint8 images."""
+        import jax as _jax
+
+        pipe = self.pipe
+        cfg = pipe.config
+        lh, lw = cfg.latent_height, cfg.latent_width
+        b = len(images)
+        assert len(masks) == len(moves) == len(prompts) == b
+
+        lats = jnp.concatenate(
+            [pipe.image_to_latent(img) for img in images], axis=0
+        )
+        traj = pipe.invert(lats, steps, 0)          # [steps+1, B, ...]
+
+        # per-case stream stacks (streams [orig, inpaint, canvas, fg] all
+        # start from the case's own inversion latent, `move`'s
+        # sample_ref_match=[0, 0, 0, 1] with both sources identical)
+        lat0 = jnp.repeat(traj[-1][:, None], 4, axis=1)     # [B, 4, ...]
+        tgt = traj[::-1][1:]                                # [steps, B, ...]
+        targets = jnp.repeat(
+            jnp.swapaxes(tgt, 0, 1)[:, :, None], 4, axis=2
+        )                                                   # [B, steps, 4, ...]
+
+        removes, fgs, keeps, ctxs, shifts = [], [], [], [], []
+        for mask, (dx, dy), prompt in zip(masks, moves, prompts):
+            m = (np.asarray(mask) > 0).astype(np.uint8) * 255
+            remove = attend_mask(m, lh, lw)
+            removes.append(remove)
+            fgs.append(remove)
+            keeps.append(self._keep_pyramid(remove, lh, lw))
+            ctx_c = pipe._stream_text_embeddings([prompt] * 4)
+            ctx_u = pipe._inversion_text_embeddings(4)
+            ctxs.append(self._stack_ctx(ctx_u, ctx_c))
+            # exact `move` op semantics: int() truncation on the latent
+            # grid, up = negative row shift
+            kx = int(dx * lw) if dx > 0 else -int(-dx * lw)
+            ky = -int(dy * lh) if dy > 0 else int(-dy * lh)
+            shifts.append((ky, kx))
+
+        stack = lambda xs: _jax.tree_util.tree_map(
+            lambda *ls: jnp.stack(ls), *xs
+        )
+        ts = np.asarray(
+            DDIMSchedule.create(num_inference_steps=steps).timesteps
+        )
+        counters = np.arange(1, steps + 1)
+        i = np.arange(steps)
+        gates = np.stack([
+            ((i > 0) & (i < mask_end)),
+            counters <= blend_end,
+            counters == blend_end + 1,
+            ts < recon_t,
+            np.zeros((steps,), bool),
+        ], axis=1).astype(np.float32)
+
+        _, run = self._denoise(steps, 4, None, float(guidance_scale))
+        out = run(
+            pipe.params, lat0, stack(ctxs), jnp.stack(removes),
+            stack(keeps), stack(keeps), jnp.stack(fgs), targets,
+            jnp.asarray(gates), jnp.asarray(shifts, jnp.int32),
+        )                                                   # [B, 4, ...]
+        return [
+            pipe.latent_to_image(out[j, 2:3])[0] for j in range(b)
+        ]

@@ -223,6 +223,54 @@ def run_geobench_baseline(
         progress(f"[proc 0] wrote {out_path}")
         return merged
 
+    if baseline == "design_edit" and batch_size > 1:
+        # case-batched lane (DesignEdit.move_batch): the per-case (dx, dy)
+        # ride the program as traced offsets, so every group shares one
+        # compiled inversion + denoise scan (beyond the reference's
+        # batch-1 eval, DesignEdit/eval_geobench.py)
+        results = []
+        t0 = time.time()
+        for b0 in range(0, len(my_cases), batch_size):
+            group = my_cases[b0: b0 + batch_size]
+            padded = group + [group[-1]] * (batch_size - len(group))
+            imgs, msks, moves, prompts = [], [], [], []
+            for case in padded:
+                gi = read_image(ds.resolve(case["ori_img_path"]), size=size)
+                gm = read_mask(ds.resolve(case["ori_mask_path"]), size=size)
+                p = case["edit_param"]
+                imgs.append(gi)
+                msks.append(gm)
+                moves.append((
+                    float(p[0]) / gi.shape[1], -float(p[1]) / gi.shape[0]
+                ))
+                prompts.append(f"image of {case.get('obj_label', 'object')}")
+            case_t0 = time.time()
+            outs = runner.move_batch(
+                imgs, msks, moves, prompts, **baseline_kwargs
+            )
+            per_case = (time.time() - case_t0) / len(group)
+            for case, out in zip(group, outs):
+                path = ds.output_path(
+                    case["da_n"], case["ins_id"], case["edit_ins"]
+                )
+                save_image(out, path)
+                results.append({
+                    **case, "gen_img_path": path,
+                    "edit_seconds": round(per_case, 3),
+                })
+            done_n = min(b0 + batch_size, len(my_cases))
+            rate = done_n / (time.time() - t0) * 60
+            progress(f"[proc {pidx}] {done_n}/{len(my_cases)} "
+                     f"({rate:.1f} edits/min, batch {batch_size})")
+        gathered = _allgather_results(results)
+        if pidx != 0:
+            return None
+        merged = ds.merge_results(gathered)
+        out_path = osp.join(dst_base, f"generated_results_{baseline}.json")
+        save_json(merged, out_path)
+        progress(f"[proc 0] wrote {out_path}")
+        return merged
+
     results: List[Dict] = []
     t0 = time.time()
     for i, case in enumerate(my_cases):

@@ -182,3 +182,27 @@ def test_baseline_eval_driver_dragon_diffusion(tmp_path):
         num_step=4, start_step=2, end_step=2,
     )
     _assert_one_case_done(merged)
+
+
+@pytest.mark.slow
+def test_baseline_eval_driver_design_edit_batched(tmp_path):
+    """batch_size>1 routes design_edit through DesignEdit.move_batch
+    (traced-shift case batching) and still writes every case."""
+    import os.path as osp
+
+    from freefine_tpu.baselines.eval import run_geobench_baseline
+
+    pipe = FreeFine(config=tiny_pipeline_config(), init_random=True)
+    ann = _mini_annotations(tmp_path, n_edit=3)
+    merged = run_geobench_baseline(
+        pipe, ann, str(tmp_path / "out_deb"), baseline="design_edit",
+        steps=3, batch_size=2,
+    )
+    n = sum(
+        1
+        for da in merged.values()
+        for ins in da["instances"].values()
+        for v in ins.values()
+        if osp.exists(v["gen_img_path"])
+    )
+    assert n == 3

@@ -143,3 +143,47 @@ def test_design_edit_sc_refine_mask_tiny(pipe):
     assert out_sc.shape == (h, w, 3) and out_sc.dtype == np.uint8
     assert np.isfinite(out_sc.astype(np.float64)).all()
     assert np.abs(out_sc.astype(int) - out_plain.astype(int)).max() > 0
+
+
+def test_shift_latent_dynamic_matches_static():
+    """shift_latent_dynamic(ky, kx) == shift_latent over the composed
+    static ops for every sign combination."""
+    from freefine_tpu.baselines.design_edit import shift_latent_dynamic
+
+    x = jnp.arange(1 * 6 * 5 * 2, dtype=jnp.float32).reshape(1, 6, 5, 2) + 1
+    for ky, ops_y in ((2, [("down", 2 / 6)]), (-2, [("up", 2 / 6)]), (0, [])):
+        for kx, ops_x in ((1, [("right", 1 / 5)]), (-3, [("left", 3 / 5)]),
+                          (0, [])):
+            ref = x
+            for op, s in ops_y + ops_x:
+                ref = shift_latent(ref, op, s)
+            out = shift_latent_dynamic(
+                x, jnp.int32(ky), jnp.int32(kx)
+            )
+            np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.slow
+def test_design_edit_move_batch_matches_single(pipe):
+    """move_batch == per-case move (same semantics, one compiled program
+    for every (dx, dy))."""
+    de = DesignEdit(pipe)
+    h = w = pipe.config.height
+    rng = np.random.default_rng(5)
+    imgs, masks, moves, prompts = [], [], [], []
+    for i, (dx, dy) in enumerate([(0.25, 0.0), (-0.125, 0.25)]):
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        mask = np.zeros((h, w), np.uint8)
+        mask[12 + i * 4 : 28 + i * 4, 16:32] = 255
+        imgs.append(img)
+        masks.append(mask)
+        moves.append((dx, dy))
+        prompts.append(f"a photo {i}")
+    outs = de.move_batch(imgs, masks, moves, prompts, steps=6)
+    for img, mask, (dx, dy), prompt, out_b in zip(
+        imgs, masks, moves, prompts, outs
+    ):
+        single = de.move(img, mask, dx=dx, dy=dy, prompt=prompt, steps=6)
+        np.testing.assert_allclose(
+            out_b.astype(np.int16), single.astype(np.int16), atol=1
+        )
