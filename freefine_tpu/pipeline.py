@@ -101,6 +101,16 @@ def _method_and_gates(
 # Pure jittable loops
 # ---------------------------------------------------------------------------
 
+# FREEFINE_SCAN_UNROLL=k unrolls every denoise/invert scan body k steps —
+# a perf hypothesis knob (more scheduler headroom between UNet calls vs a
+# k-times-larger program).  Paired chip measurement in BATCH_SCALING.md;
+# default 1 (no unroll).
+_SCAN_UNROLL = int(os.environ.get("FREEFINE_SCAN_UNROLL", "1"))
+
+
+def _scan(body, init, xs):
+    return jax.lax.scan(body, init, xs, unroll=_SCAN_UNROLL)
+
 
 def ddim_invert_loop(
     unet_apply,
@@ -123,7 +133,7 @@ def ddim_invert_loop(
         lat, _ = inv_step(schedule, eps, t, lat)
         return lat, lat
 
-    _, traj = jax.lax.scan(body, latents, ts)
+    _, traj = _scan(body, latents, ts)
     return jnp.concatenate([latents[None], traj], axis=0)
 
 
@@ -215,7 +225,7 @@ def sample_edit_loop(
         )
         return (lat, key), (lat[0] if return_intermediates else None)
 
-    (lat, _), inter = jax.lax.scan(body, (init, rng), (ts, cg, gates, refs))
+    (lat, _), inter = _scan(body, (init, rng), (ts, cg, gates, refs))
     if return_intermediates:
         return lat, inter
     return lat
@@ -317,7 +327,7 @@ def sample_edit_loop_shared(
         lat, keys = jax.vmap(step)(noise, lat, var_masks, keys)
         return (lat, keys), None
 
-    (lat, _), _ = jax.lax.scan(body, (init_lat, rngs), (ts, cg, gates, refs))
+    (lat, _), _ = _scan(body, (init_lat, rngs), (ts, cg, gates, refs))
     return lat
 
 
@@ -375,7 +385,7 @@ def sample_bggen_loop(
         )
         return (lat2[:1], key), None
 
-    (lat, _), _ = jax.lax.scan(body, (init, rng), (ts, cg, gates, refs))
+    (lat, _), _ = _scan(body, (init, rng), (ts, cg, gates, refs))
     return lat
 
 
@@ -427,7 +437,7 @@ def sample_compose_loop(
         lat, _ = ctrl_step(schedule, noise, t, lat, var_mask, eta, sub)
         return (lat, key), None
 
-    (lat, _), _ = jax.lax.scan(body, (init, rng), (ts, cg, gates, refs))
+    (lat, _), _ = _scan(body, (init, rng), (ts, cg, gates, refs))
     return lat
 
 
@@ -1810,9 +1820,7 @@ def sample_guided_loop(
         )
         return (lat, key), None
 
-    (lat, _), _ = jax.lax.scan(
-        body, (init, rng), (ts, cg, gates, refs, step_ids)
-    )
+    (lat, _), _ = _scan(body, (init, rng), (ts, cg, gates, refs, step_ids))
     return lat
 
 
