@@ -9,9 +9,16 @@ pipeline.sample_edit_loop), guidance 7.5, eta 1.0, TCA.
 Weights are randomly initialised — identical FLOPs/memory to the real
 checkpoint, no quality claim.
 
+The default (no flags) benches the measured-best protocol-exact serving
+shape: the shared-source lane at batch 8 (GeoBench groups ~10 edits per
+source; generation_shared_source inverts the source once and broadcasts
+its per-step reference K/V — exactness vs per-case pinned in
+tests/test_shared_ref.py; 73.0 edits/min chip-measured, BATCH_SCALING.md).
+`--no-shared` or an explicit `--batch N` restores the per-case lane.
+
 Prints ONE JSON line:
   {"metric": "edits/min/chip @512^2 50-step", "value": ..., "unit":
-   "edits/min", "vs_baseline": value / 20.0}
+   "edits/min", "vs_baseline": value / 20.0, "lane": ...}
 (baseline: the 20 edits/min/chip build target in /root/repo/BASELINE.json).
 """
 
@@ -85,17 +92,26 @@ def main():
     ap.add_argument("--start-step", type=int, default=None)
     ap.add_argument("--repeats", type=int, default=3, help="timed edits")
     ap.add_argument("--tiny", action="store_true", help="tiny config smoke run")
-    ap.add_argument("--batch", type=int, default=1,
-                    help="cases per device step (BatchedFreeFine)")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="cases per device step (BatchedFreeFine). "
+                         "Default: 8 on the flagship SD-1.5 @512^2 lane "
+                         "(the measured-best serving shape), 1 elsewhere.")
     ap.add_argument("--profile", action="store_true",
                     help="per-stage timing via StageTimer (batched path; "
                          "prints the breakdown to stderr)")
-    ap.add_argument("--shared", action="store_true",
+    ap.add_argument("--shared", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="shared-reference batched lane "
                          "(generation_shared_source): cases share one "
                          "source image so the reference stream is "
                          "inverted and run once per step for the whole "
-                         "batch — the GeoBench per-instance grouping. "
+                         "batch — the GeoBench per-instance grouping "
+                         "(~10 edits per source; exactness vs the "
+                         "per-case lane pinned in tests/test_shared_ref). "
+                         "Default: ON for the flagship batched lane "
+                         "(chip-measured 73.0 edits/min at batch 8 vs "
+                         "48.2 per-case — BATCH_SCALING.md); "
+                         "--no-shared restores per-case batching. "
                          "Requires --batch > 1 to pay off.")
     ap.add_argument("--sdxl", action="store_true",
                     help="SDXL backbone at 1024^2 (the reference's named "
@@ -124,6 +140,22 @@ def main():
                          "does not fit a 16 GB chip; f32 is the golden-"
                          "comparison layout)")
     args = ap.parse_args()
+
+    # Lane defaults: the flagship SD-1.5 @512^2 lane benches the
+    # measured-best protocol-exact serving shape (shared-source batch 8,
+    # 73.0 edits/min chip-measured — BATCH_SCALING.md); every opt-in lane
+    # (--tiny/--sdxl/--dit/--mesh/--profile) keeps batch-1 per-case
+    # semantics unless asked otherwise.
+    flagship = not (args.tiny or args.sdxl or args.dit or args.mesh
+                    or args.profile)
+    batch_defaulted = args.batch is None
+    if batch_defaulted:
+        args.batch = 8 if (flagship and args.shared is not False) else 1
+    if args.shared is None:
+        # An explicit --batch N means the documented per-case lane; only
+        # the all-default flagship invocation (and explicit --shared)
+        # runs shared-source.
+        args.shared = flagship and batch_defaulted and args.batch > 1
 
     import jax
 
@@ -239,11 +271,14 @@ def main():
         metric = f"edits/min/chip DiT @{cfg.height}^2 {num_step}-step"
     else:
         metric = "edits/min/chip @512^2 50-step"
+    lane = ("shared-source" if args.shared and args.batch > 1
+            else "per-case") + f" batch {args.batch}"
     result = {
         "metric": metric,
         "value": round(epm, 3),
         "unit": "edits/min",
         "vs_baseline": round(epm / 20.0, 3),
+        "lane": lane,
     }
     print(
         f"# device={jax.devices()[0].platform} compile={compile_s:.1f}s "

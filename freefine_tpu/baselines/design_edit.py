@@ -48,7 +48,15 @@ from freefine_tpu.schedulers.ddim import DDIMSchedule
 
 def panning(img: np.ndarray, op_list: Sequence[Tuple[str, float]]):
     """Shift the frame, exposing a hole (utils.py:90-136).
-    Returns (warped image, hole mask 0/255)."""
+    Returns (warped image, hole mask 0/255).
+
+    INTENTIONAL DEVIATION (golden-pinned in
+    tests/test_reference_golden_baselines2.py): the reference sums its two
+    uint8 axis masks (`mask = w_mask + h_mask`, utils.py:122), which wraps
+    at 255+255 — so whenever only ONE axis is panned the hole mask comes
+    out all-255 and run_panning inpaints the entire frame.  We return the
+    true hole (the intent); the two-axis case is bit-exact either way.
+    The warped image matches the reference exactly in all cases."""
     h, w = img.shape[:2]
     out = img.copy()
     w_mask = np.full((h, w), 255, np.uint8)
@@ -74,14 +82,38 @@ def panning(img: np.ndarray, op_list: Sequence[Tuple[str, float]]):
     return out, mask
 
 
+def _area_resize(img: np.ndarray, nh: int, nw: int) -> np.ndarray:
+    """cv2.INTER_AREA downscale (the reference shrinks with it,
+    utils.py:145): each destination pixel is the exact fractional-area
+    average of the source pixels its footprint covers.  Golden-pinned
+    against cv2 in tests/test_reference_golden_baselines2.py."""
+    h, w = img.shape[:2]
+
+    def axis_weights(src: int, dst: int) -> np.ndarray:
+        scale = src / dst
+        wm = np.zeros((dst, src), np.float64)
+        for i in range(dst):
+            a, b = i * scale, (i + 1) * scale
+            for j in range(int(np.floor(a)), min(int(np.ceil(b)), src)):
+                wm[i, j] = max(0.0, min(b, j + 1) - max(a, j))
+            wm[i] /= scale
+        return wm
+
+    wy, wx = axis_weights(h, nh), axis_weights(w, nw)
+    flat = img.reshape(h, w, -1).astype(np.float64)
+    out = np.einsum("ij,jkc,lk->ilc", wy, flat, wx)
+    out = out.reshape((nh, nw) + img.shape[2:])
+    if np.issubdtype(img.dtype, np.integer):
+        return np.rint(out).clip(0, 255).astype(img.dtype)
+    return out.astype(img.dtype)
+
+
 def zooming(img: np.ndarray, scale: Sequence[float]):
-    """Zoom out: shrink the content into the centre, exposing a border hole
-    (utils.py:138-155)."""
+    """Zoom out: shrink the content into the centre (INTER_AREA, like the
+    reference), exposing a border hole (utils.py:138-155)."""
     h, w = img.shape[:2]
     nh, nw = int(h * scale[0]), int(w * scale[1])
-    ys = (np.arange(nh) * (h / nh)).astype(np.int64).clip(0, h - 1)
-    xs = (np.arange(nw) * (w / nw)).astype(np.int64).clip(0, w - 1)
-    resized = img[ys][:, xs]
+    resized = _area_resize(img, nh, nw)
     out = img.copy()
     mask = np.full((h, w), 255, np.uint8)
     y0, x0 = (h - nh) // 2, (w - nw) // 2

@@ -60,8 +60,13 @@ def process_correspondences(
     -> padded fg index pairs + bg masks on the `grid`^2 activation grid.
 
     Returns dict of arrays: fg_orig_yx / fg_trans_yx [max_pts, 2] int32
-    (padded with grid, dropped by validity), fg_valid [max_pts],
-    bg_mask_orig / bg_mask_trans [grid, grid] float32.
+    (padded with grid, dropped by validity), fg_valid [max_pts] — the
+    MULTIPLICITY of each unique coarse pair (the reference keeps every
+    fine-pixel pair, so coarse cells hit by k pixels enter the loss mean
+    k times, guided_stable_diffuser.py:492-560 + losses.py:51-84; a
+    count-weighted mean over unique pairs is exactly that mean, pinned in
+    tests/test_reference_golden_baselines2.py), bg_mask_orig /
+    bg_mask_trans [grid, grid] float32.
     """
     c = np.asarray(corr)
     ys, xs = np.nonzero(np.isfinite(c[..., 0]))
@@ -75,11 +80,14 @@ def process_correspondences(
     wy, wx = (ty // scale).astype(np.int64), (tx // scale).astype(np.int64)
     wy, wx = np.clip(wy, 0, grid - 1), np.clip(wx, 0, grid - 1)
 
-    # dedupe on the coarse grid
-    seen = {}
-    for a, b, cc, d in zip(oy, ox, wy, wx):
-        seen[(a, b, cc, d)] = None
-    pairs = np.asarray(list(seen.keys()), np.int64).reshape(-1, 4)
+    # unique coarse pairs + their fine-pixel multiplicities
+    if len(oy):
+        pairs, counts = np.unique(
+            np.stack([oy, ox, wy, wx], axis=-1), axis=0, return_counts=True
+        )
+    else:
+        pairs = np.zeros((0, 4), np.int64)
+        counts = np.zeros((0,), np.int64)
 
     bg_orig = np.ones((grid, grid), bool)
     bg_trans = np.ones((grid, grid), bool)
@@ -94,7 +102,7 @@ def process_correspondences(
     if n:
         fg_o[:n] = pairs[:n, 0:2]
         fg_t[:n] = pairs[:n, 2:4]
-        valid[:n] = 1.0
+        valid[:n] = counts[:n]
     return {
         "fg_orig": fg_o, "fg_trans": fg_t, "fg_valid": valid,
         "bg_orig": bg_orig.astype(np.float32),
@@ -104,7 +112,11 @@ def process_correspondences(
 
 def foreground_loss(act, act_orig, fg_orig, fg_trans, fg_valid):
     """Paired activation match across the correspondence (losses.py:4-17,
-    patch_size 1 -> direct paired gather).  act/act_orig [g, g, C]."""
+    patch_size 1 -> direct paired gather).  act/act_orig [g, g, C];
+    fg_valid carries the fine-pixel multiplicity of each coarse pair
+    (0 = padding), so this count-weighted mean equals the reference's
+    plain mean over ALL fine-pixel pairs — golden-pinned in
+    tests/test_reference_golden_baselines2.py."""
     a_o = act_orig[fg_orig[:, 0], fg_orig[:, 1]]     # [N, C] (clip-gathered)
     a_t = act[fg_trans[:, 0], fg_trans[:, 1]]
     d = jnp.abs(a_o - a_t).mean(-1) * fg_valid

@@ -160,15 +160,30 @@ def sample_patch(feat: jnp.ndarray, yy, xx) -> jnp.ndarray:
 
 def track_point(f0_vec, feat, point, r_p: int):
     """Nearest-neighbour re-location of one handle point within a
-    (2 r_p + 1)^2 window (drag_utils.point_tracking, :25-46)."""
+    (2 r_p + 1)^2 window (drag_utils.point_tracking, :25-46).
+
+    The reference truncates the window at the image border
+    ([max(0, p-r), min(H, p+r+1))); our dynamic_slice window is
+    shape-static (shifted inward when clamped), so cells outside the
+    reference's range are masked to +inf — exact parity incl. borders
+    (tests/test_reference_golden_baselines.py)."""
     h, w, _ = feat.shape
     size = 2 * r_p + 1
-    y0 = jnp.clip(jnp.floor(point[0]).astype(jnp.int32) - r_p, 0, h - size)
-    x0 = jnp.clip(jnp.floor(point[1]).astype(jnp.int32) - r_p, 0, w - size)
+    py = jnp.floor(point[0]).astype(jnp.int32)
+    px = jnp.floor(point[1]).astype(jnp.int32)
+    y0 = jnp.clip(py - r_p, 0, h - size)
+    x0 = jnp.clip(px - r_p, 0, w - size)
     window = jax.lax.dynamic_slice(
         feat, (y0, x0, 0), (size, size, feat.shape[-1])
     )
     dist = jnp.abs(window.astype(jnp.float32) - f0_vec).sum(-1)
+    yy = y0 + jnp.arange(size)[:, None]
+    xx = x0 + jnp.arange(size)[None, :]
+    valid = (
+        (yy >= jnp.maximum(0, py - r_p)) & (yy < py + r_p + 1)
+        & (xx >= jnp.maximum(0, px - r_p)) & (xx < px + r_p + 1)
+    )
+    dist = jnp.where(valid, dist, jnp.float32(jnp.inf))
     flat = jnp.argmin(dist)
     row, col = flat // size, flat % size
     return jnp.stack([(y0 + row).astype(jnp.float32),

@@ -66,6 +66,45 @@ ALL_BASELINES = (
     "dragon_diffusion",
 )
 
+# baselines with a case-batched jit(vmap) lane in their core
+BATCHED_BASELINES = ("region_drag", "design_edit", "self_guidance")
+
+
+def _run_batched_lane(ds, my_cases, batch_size, baseline, dst_base, pidx,
+                      progress, run_group):
+    """Shared skeleton of the case-batched lanes: pad the tail group so
+    every group hits one compiled program, run `run_group(padded_cases) ->
+    outs`, then save/gather/merge exactly like the batch-1 loop."""
+    results: List[Dict] = []
+    t0 = time.time()
+    for b0 in range(0, len(my_cases), batch_size):
+        group = my_cases[b0: b0 + batch_size]
+        padded = group + [group[-1]] * (batch_size - len(group))
+        case_t0 = time.time()
+        outs = run_group(padded)
+        per_case = (time.time() - case_t0) / len(group)
+        for case, out in zip(group, outs):
+            path = ds.output_path(
+                case["da_n"], case["ins_id"], case["edit_ins"]
+            )
+            save_image(out, path)
+            results.append({
+                **case, "gen_img_path": path,
+                "edit_seconds": round(per_case, 3),
+            })
+        done_n = min(b0 + batch_size, len(my_cases))
+        rate = done_n / (time.time() - t0) * 60
+        progress(f"[proc {pidx}] {done_n}/{len(my_cases)} "
+                 f"({rate:.1f} edits/min, batch {batch_size})")
+    gathered = _allgather_results(results)
+    if pidx != 0:
+        return None
+    merged = ds.merge_results(gathered)
+    out_path = osp.join(dst_base, f"generated_results_{baseline}.json")
+    save_json(merged, out_path)
+    progress(f"[proc 0] wrote {out_path}")
+    return merged
+
 
 def run_geobench_baseline(
     pipe,
@@ -176,11 +215,8 @@ def run_geobench_baseline(
 
         lh, lw = pipe.config.latent_height, pipe.config.latent_width
         n_pts = int(2 ** np.ceil(np.log2(max(lh * lw, 2))))
-        results = []
-        t0 = time.time()
-        for b0 in range(0, len(my_cases), batch_size):
-            group = my_cases[b0: b0 + batch_size]
-            padded = group + [group[-1]] * (batch_size - len(group))
+
+        def run_group(padded):
             items, prompts = [], []
             for case in padded:
                 gi = read_image(ds.resolve(case["ori_img_path"]), size=size)
@@ -193,46 +229,22 @@ def run_geobench_baseline(
                     ori_image=gi, source_pts=s * 8, target_pts=t * 8,
                 ))
                 prompts.append(f"image of {case.get('obj_label', 'object')}")
-            case_t0 = time.time()
-            outs = runner.drag_batch(
+            return runner.drag_batch(
                 # per-case seeds: every case draws the keys the batch-1
                 # lane uses (reference protocol fixes one seed per case)
                 items, prompts, seed=[seed] * len(items), max_pts=n_pts,
                 **baseline_kwargs
             )
-            per_case = (time.time() - case_t0) / len(group)
-            for case, out in zip(group, outs):
-                path = ds.output_path(
-                    case["da_n"], case["ins_id"], case["edit_ins"]
-                )
-                save_image(out, path)
-                results.append({
-                    **case, "gen_img_path": path,
-                    "edit_seconds": round(per_case, 3),
-                })
-            done_n = min(b0 + batch_size, len(my_cases))
-            rate = done_n / (time.time() - t0) * 60
-            progress(f"[proc {pidx}] {done_n}/{len(my_cases)} "
-                     f"({rate:.1f} edits/min, batch {batch_size})")
-        gathered = _allgather_results(results)
-        if pidx != 0:
-            return None
-        merged = ds.merge_results(gathered)
-        out_path = osp.join(dst_base, f"generated_results_{baseline}.json")
-        save_json(merged, out_path)
-        progress(f"[proc 0] wrote {out_path}")
-        return merged
+
+        return _run_batched_lane(ds, my_cases, batch_size, baseline,
+                                 dst_base, pidx, progress, run_group)
 
     if baseline == "design_edit" and batch_size > 1:
         # case-batched lane (DesignEdit.move_batch): the per-case (dx, dy)
         # ride the program as traced offsets, so every group shares one
         # compiled inversion + denoise scan (beyond the reference's
         # batch-1 eval, DesignEdit/eval_geobench.py)
-        results = []
-        t0 = time.time()
-        for b0 in range(0, len(my_cases), batch_size):
-            group = my_cases[b0: b0 + batch_size]
-            padded = group + [group[-1]] * (batch_size - len(group))
+        def run_group(padded):
             imgs, msks, moves, prompts = [], [], [], []
             for case in padded:
                 gi = read_image(ds.resolve(case["ori_img_path"]), size=size)
@@ -244,32 +256,35 @@ def run_geobench_baseline(
                     float(p[0]) / gi.shape[1], -float(p[1]) / gi.shape[0]
                 ))
                 prompts.append(f"image of {case.get('obj_label', 'object')}")
-            case_t0 = time.time()
-            outs = runner.move_batch(
+            return runner.move_batch(
                 imgs, msks, moves, prompts, **baseline_kwargs
             )
-            per_case = (time.time() - case_t0) / len(group)
-            for case, out in zip(group, outs):
-                path = ds.output_path(
-                    case["da_n"], case["ins_id"], case["edit_ins"]
+
+        return _run_batched_lane(ds, my_cases, batch_size, baseline,
+                                 dst_base, pidx, progress, run_group)
+
+    if baseline == "self_guidance" and batch_size > 1:
+        # case-batched lane (SelfGuidance.edit_batch): inversion, sow and
+        # guided grad scans run once per group, with each case's
+        # silhouette transform riding as traced values (beyond the
+        # reference's batch-1 eval, SelfGuidance/eval_geobench.py:131-146)
+        def run_group(padded):
+            imgs, prompts, objs, params = [], [], [], []
+            for case in padded:
+                imgs.append(
+                    read_image(ds.resolve(case["ori_img_path"]), size=size)
                 )
-                save_image(out, path)
-                results.append({
-                    **case, "gen_img_path": path,
-                    "edit_seconds": round(per_case, 3),
-                })
-            done_n = min(b0 + batch_size, len(my_cases))
-            rate = done_n / (time.time() - t0) * 60
-            progress(f"[proc {pidx}] {done_n}/{len(my_cases)} "
-                     f"({rate:.1f} edits/min, batch {batch_size})")
-        gathered = _allgather_results(results)
-        if pidx != 0:
-            return None
-        merged = ds.merge_results(gathered)
-        out_path = osp.join(dst_base, f"generated_results_{baseline}.json")
-        save_json(merged, out_path)
-        progress(f"[proc 0] wrote {out_path}")
-        return merged
+                obj = case.get("obj_label", "object")
+                prompts.append(f"image of {obj}")
+                objs.append(obj)
+                params.append(case["edit_param"])
+            return runner.edit_batch(
+                imgs, prompts, objs, params, seed=[seed] * len(padded),
+                **baseline_kwargs
+            )
+
+        return _run_batched_lane(ds, my_cases, batch_size, baseline,
+                                 dst_base, pidx, progress, run_group)
 
     results: List[Dict] = []
     t0 = time.time()
@@ -385,7 +400,8 @@ def main(argv=None):
     ap.add_argument("--max-cases", type=int, default=None)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--batch", type=int, default=1,
-                    help="cases per compiled batch (region_drag only)")
+                    help="cases per compiled batch "
+                         f"({'/'.join(BATCHED_BASELINES)} only)")
     ap.add_argument("--raft-params", default=None,
                     help="motion_guidance: RAFT msgpack params "
                          "(random-init otherwise)")

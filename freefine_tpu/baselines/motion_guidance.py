@@ -18,8 +18,10 @@ TPU-first design differences:
     `jax.grad` through UNet -> DDIM x0 -> VAE decode -> RAFT.
   * The step loop is a lax.scan and the per-step recursive loop a
     lax.fori_loop; the guidance schedule is a traced per-step array.
-  * `warp` uses map_coordinates with reflect padding (torch grid_sample
-    padding_mode='reflection', align_corners=True — same pixel mapping).
+  * `warp` uses map_coordinates with mirror padding — the exact pixel
+    mapping of torch grid_sample padding_mode='reflection' with
+    align_corners=True (reflection about edge pixel CENTERS; golden-pinned
+    in tests/test_reference_golden_baselines2.py).
 """
 
 from __future__ import annotations
@@ -41,7 +43,7 @@ from freefine_tpu.schedulers.ddim import DDIMSchedule
 def warp(im: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """Backward-warp [B, H, W, C] by a relative pixel flow [B, H, W, 2]
     (x, y) — flow_utils.warp + normalize_flow (absolute sampling positions,
-    reflect padding)."""
+    mirror padding = grid_sample 'reflection' @ align_corners=True)."""
     b, h, w, c = im.shape
     ys, xs = jnp.meshgrid(
         jnp.arange(h, dtype=jnp.float32),
@@ -54,7 +56,7 @@ def warp(im: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
 
         def per_channel(ch):
             return jax.scipy.ndimage.map_coordinates(
-                ch, [yy, xx], order=1, mode="reflect"
+                ch, [yy, xx], order=1, mode="mirror"
             )
         return jax.vmap(per_channel, in_axes=-1, out_axes=-1)(img)
 

@@ -77,18 +77,37 @@ def get_centroid(attn: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([weighted_w, weighted_h]) / (a.sum((0, 1)) + 1e-12)
 
 
-def attn_diff_norm(a: jnp.ndarray, hard: bool = False, thresh: float = 0.5):
-    """Per-map min/max normalise + soft binarise ([n, h, w, k] maps,
-    guidance_functions.py:188-198)."""
-    lo = a.min((1, 2), keepdims=True)
-    hi = a.max((1, 2), keepdims=True)
+def attn_diff_norm(a: jnp.ndarray, hard: bool = False, thresh: float = 0.5,
+                   token_valid: Optional[jnp.ndarray] = None):
+    """Min/max normalise + soft binarise of [n, h, w, k] token-map stacks,
+    REFERENCE-EXACT (guidance_functions.py:188-198): the reference reduces
+    dims (2, 3) = (width, token) — each ROW of each map is normalised
+    jointly across the object's tokens, not each map over (h, w).  That is
+    almost certainly a dims bug upstream (golden-pinned in
+    tests/test_reference_golden_baselines.py), but it is what every
+    GeoBench SelfGuidance number was produced with, so it is the default
+    here.  `token_valid` [k] masks our zero-padded token rows out of the
+    min/max and zeroes their output (the reference indexes only the real
+    object tokens, so padding must not join the row statistics)."""
+    if token_valid is None:
+        v = jnp.ones((1, 1, 1, a.shape[-1]), bool)
+    else:
+        v = token_valid.reshape(1, 1, 1, -1).astype(bool)
+    big = jnp.float32(3.0e38)
+
+    def mn(x):
+        return jnp.where(v, x, big).min((2, 3), keepdims=True)
+
+    def mx(x):
+        return jnp.where(v, x, -big).max((2, 3), keepdims=True)
+
+    lo, hi = mn(a), mx(a)
     t = (a - lo) / (hi - lo + 1e-4)
     if hard:
-        return (t > thresh).astype(jnp.float32)
+        return (t > thresh).astype(jnp.float32) * v
     b = jax.nn.sigmoid((t - thresh) * 10.0)
-    lo = b.min((1, 2), keepdims=True)
-    hi = b.max((1, 2), keepdims=True)
-    return (b - lo) / (hi - lo + 1e-4)
+    lo, hi = mn(b), mx(b)
+    return jnp.where(v, (b - lo) / (hi - lo + 1e-4), 0.0)
 
 
 def soft_centroid(a: jnp.ndarray) -> jnp.ndarray:
@@ -158,11 +177,22 @@ def _warp_maps(maps: jnp.ndarray, ref_maps: jnp.ndarray,
     )
     hh = hh[None] - ch
     ww = ww[None] - cw
-    th = rot * math.pi / 180.0
-    w_r = math.cos(th) * ww + math.sin(th) * hh
-    h_r = -math.sin(th) * ww + math.cos(th) * hh
+    # jnp trig so rot/sy/sx/dy/dx may be traced values — the guided loop
+    # compiles ONCE for every GeoBench edit_param instead of per case
+    th = rot * (math.pi / 180.0)
+    w_r = jnp.cos(th) * ww + jnp.sin(th) * hh
+    h_r = -jnp.sin(th) * ww + jnp.cos(th) * hh
     h_r = h_r / sy - dy * h * sy + ch
     w_r = w_r / sx - dx * w * sx + cw
+
+    # grid_sample parity: the reference normalises coordinates with the
+    # align_corners=True formula (2x/(W-1) - 1) but samples with
+    # align_corners=False (guidance_functions.py:289-299), so its
+    # effective sample position is x*W/(W-1) - 0.5.  Replicated exactly
+    # (golden-pinned in tests/test_reference_golden_baselines.py);
+    # zeros padding == map_coordinates mode="constant".
+    h_r = h_r * (h / (h - 1)) - 0.5
+    w_r = w_r * (w / (w - 1)) - 0.5
 
     def sample_one(m, yy, xx):          # m [h, w, k]
         def per_token(mk):
@@ -183,21 +213,34 @@ def silhouette_loss(
     rot: float = 0.0, sy: float = 1.0, sx: float = 1.0,
     dy: float = 0.0, dx: float = 0.0,
     l2: bool = False,
+    token_valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """GeoBench silhouette guidance (guidance_functions.py:219-311): warp the
     edit stream's up-block object maps by the requested geometric transform
     (about the reference maps' centroid) and pull them toward the reference
-    maps, plus the feature-appearance term."""
+    maps, plus the feature-appearance term.  Reference-exact, incl. its
+    row-wise normalisation and grid_sample coordinate conventions
+    (golden-pinned in tests/test_reference_golden_baselines.py);
+    `token_valid` [k] masks zero-padded token rows so only the real object
+    tokens enter the statistics and the mean, like the reference's
+    obj_idx indexing."""
     loss = jnp.float32(0.0)
     for e_map, r_map in zip(edit_up_maps, ref_up_maps):
         n, s, k = e_map.shape
         h = w = int(math.isqrt(s))
-        tgt = attn_diff_norm(e_map.reshape(n, h, w, k))
-        ref = attn_diff_norm(r_map.reshape(n, h, w, k))
+        tgt = attn_diff_norm(e_map.reshape(n, h, w, k),
+                             token_valid=token_valid)
+        ref = attn_diff_norm(r_map.reshape(n, h, w, k),
+                             token_valid=token_valid)
         warped = _warp_maps(tgt, ref, rot, sy, sx, dy, dx)
-        geo = (0.5 * (ref - warped) ** 2).mean() if l2 else jnp.abs(
-            ref - warped
-        ).mean()
+        diff = 0.5 * (ref - warped) ** 2 if l2 else jnp.abs(ref - warped)
+        if token_valid is None:
+            geo = diff.mean()
+        else:
+            v = token_valid.reshape(1, 1, 1, -1).astype(jnp.float32)
+            geo = (diff * v).sum() / jnp.maximum(
+                n * h * w * token_valid.sum(), 1.0
+            )
         loss = loss + geo + appearance_weight * fix_appearances_by_feature(
             ori_feats, edit_feats
         )
@@ -207,6 +250,15 @@ def silhouette_loss(
 # ---------------------------------------------------------------------------
 # Guidance-step schedule
 # ---------------------------------------------------------------------------
+
+
+def _ref_transform_gate(rot, sy, sx, dy, dx) -> bool:
+    """The reference's has-transform check (guidance_functions.py:257):
+    ``rot != 0 or any(_ != 1. for _ in [sy, sx, dy, dx])``.  Note dy/dx are
+    compared against 1 — identity is dy=dx=0 — so this is True for every
+    GeoBench edit (including pure-identity params): the silhouette loss
+    effectively always runs.  Replicated exactly."""
+    return rot != 0 or any(v != 1.0 for v in (sy, sx, dy, dx))
 
 
 def guidance_gates(num_steps: int, scheduler: str = "ddpm") -> np.ndarray:
@@ -312,8 +364,8 @@ class SelfGuidance:
         feat = feats[0][1:] if feats else jnp.zeros((1,), jnp.float32)
         return eps2, up_maps, feat
 
-    def _invert(self, steps: int):
-        key = ("invert", steps)
+    def _invert(self, steps: int, batched: bool = False):
+        key = ("invert", steps, batched)
         if key in self._cache:
             return self._cache[key]
         pipe = self.pipe
@@ -333,23 +385,35 @@ class SelfGuidance:
             out, _ = jax.lax.scan(body, latent, schedule.timesteps[::-1])
             return out
 
-        self._cache[key] = (schedule, jax.jit(run))
+        fn = (
+            jax.vmap(run, in_axes=(None, 0, 0, None)) if batched else run
+        )
+        self._cache[key] = (schedule, jax.jit(fn))
         return self._cache[key]
 
     def _guided_loop(self, steps: int, guidance_scale: float,
-                     g_weight: float, transform: Tuple, appearance_weight):
-        key = ("loop", steps, guidance_scale, g_weight, transform,
-               appearance_weight)
+                     g_weight: float, guided: bool, appearance_weight,
+                     batched: bool = False):
+        """`run` takes the silhouette transform as a TRACED [5] array
+        (rot, sy, sx, dy, dx), so one compiled program serves every
+        GeoBench edit_param (the transform used to be a static cache key —
+        a full value_and_grad UNet recompile per case).  `guided=False`
+        compiles the transform-free variant (zero loss, no grad);
+        `batched=True` vmaps over a leading case axis (edit_batch)."""
+        key = ("loop", steps, guidance_scale, g_weight, guided,
+               appearance_weight, batched)
         if key in self._cache:
             return self._cache[key]
         pipe = self.pipe
         schedule = DDIMSchedule.create(num_inference_steps=steps)
-        rot, sy, sx, dy, dx = transform
-        has_transform = rot != 0 or any(v != 1.0 for v in (sy, sx)) or any(
-            v != 0.0 for v in (dy, dx)
-        )
+        has_transform = guided
 
-        def run(params, latent, ctx2, select, ref_maps, gates, rng):
+        def run(params, latent, ctx2, select, ref_maps, gates, transform,
+                rng):
+            rot, sy, sx, dy, dx = (
+                transform[0], transform[1], transform[2], transform[3],
+                transform[4],
+            )
             def eps_cfg(eps2):
                 u, c = eps2[:1], eps2[1:]
                 return u + guidance_scale * (c - u)
@@ -378,6 +442,7 @@ class SelfGuidance:
                         loss = silhouette_loss(
                             up_maps, ref_maps, ori_feats, feats,
                             appearance_weight, rot, sy, sx, dy, dx,
+                            token_valid=select.sum(-1) > 0,
                         )
                     else:
                         loss = jnp.float32(0.0)
@@ -397,7 +462,11 @@ class SelfGuidance:
             )
             return edit_lat, ori_lat, losses
 
-        self._cache[key] = (schedule, jax.jit(run))
+        fn = (
+            jax.vmap(run, in_axes=(None, 0, 0, 0, 0, None, 0, 0))
+            if batched else run
+        )
+        self._cache[key] = (schedule, jax.jit(fn))
         return self._cache[key]
 
     # -- public API --------------------------------------------------------------
@@ -443,17 +512,103 @@ class SelfGuidance:
         rz = float(edit_param[5])
         sx, sy = float(edit_param[6]), float(edit_param[7])
         transform = (rz, sy if sy else 1.0, sx if sx else 1.0, dy, dx)
+        # the reference's gate compares dy/dx against 1 (a bug — identity
+        # is dy=dx=0), so silhouette guidance is effectively ALWAYS on
+        # (guidance_functions.py:257: any(_!=1. for [sy,sx,dy,dx]))
+        guided = _ref_transform_gate(*transform)
 
         _, loop = self._guided_loop(
-            steps, float(guidance_scale), float(g_weight), transform,
+            steps, float(guidance_scale), float(g_weight), guided,
             float(appearance_weight),
         )
         gates = jnp.asarray(guidance_gates(steps, "ddpm"))
         edit_lat, _, _ = loop(
             pipe.params, inv_latent, ctx2, select, ref_maps, gates,
-            jax.random.key(seed),
+            jnp.asarray(transform, jnp.float32), jax.random.key(seed),
         )
         return pipe.latent_to_image(edit_lat)[0]
+
+    def edit_batch(
+        self,
+        images: Sequence[np.ndarray],
+        prompts: Sequence[str],
+        objs: Sequence[str],
+        edit_params: Sequence[Sequence[float]],
+        steps: int = 50,
+        guidance_scale: float = 7.5,
+        inversion_guidance: float = 1.5,
+        g_weight: float = 15.0,
+        appearance_weight: float = 0.8,
+        seed=42,
+    ) -> List[np.ndarray]:
+        """Case-batched `edit`: the inversion scan, the reference-map
+        capture and the guided grad scan each run ONCE over a leading case
+        axis (jit(vmap)), with each case's silhouette transform as traced
+        values — the GeoBench batching the reference's per-case loop
+        (SelfGuidance/eval_geobench.py) never had.
+
+        One compiled program serves the whole batch, so `guided` is the OR
+        over cases: a batch mixing real transforms with identity ones runs
+        the guided scan for all of them (an identity case then still takes
+        tiny silhouette-gradient steps, where per-case `edit` would pick
+        the transform-free program).  GeoBench has no identity edits, so
+        the eval lane never hits this."""
+        pipe = self.pipe
+        b = len(images)
+        assert len(prompts) == len(objs) == len(edit_params) == b
+        seeds = seed if isinstance(seed, (list, tuple)) else [seed] * b
+
+        select = jnp.stack(
+            [jnp.asarray(self.token_select(p, o))
+             for p, o in zip(prompts, objs)]
+        )
+        latent = jnp.stack(
+            [pipe.image_to_latent(img) for img in images]
+        )                                                  # [B, 1, ...]
+        ctx_u = pipe.encode_text([" "])
+        ctx2 = jnp.stack(
+            [jnp.concatenate([ctx_u, pipe.encode_text([p])], axis=0)
+             for p in prompts]
+        )                                                  # [B, 2, 77, d]
+
+        schedule, invert = self._invert(steps, batched=True)
+        inv_latent = invert(pipe.params, latent, ctx2,
+                            jnp.float32(inversion_guidance))
+
+        sow_key = ("sow_batch",)
+        if sow_key not in self._cache:
+            self._cache[sow_key] = jax.jit(jax.vmap(
+                self._apply_sow, in_axes=(None, 0, None, 0, 0)
+            ))
+        pair = jnp.concatenate([inv_latent, inv_latent], axis=1)
+        _, ref_maps, _ = self._cache[sow_key](
+            pipe.params, pair, schedule.timesteps[0], ctx2, select
+        )
+        ref_maps = [attn_stop(m) for m in ref_maps]
+
+        transforms, guided = [], False
+        for ep in edit_params:
+            dx, dy = float(ep[0]), float(ep[1])
+            rz = float(ep[5])
+            sx, sy = float(ep[6]), float(ep[7])
+            transforms.append(
+                (rz, sy if sy else 1.0, sx if sx else 1.0, dy, dx)
+            )
+            guided = guided or _ref_transform_gate(*transforms[-1])
+
+        _, loop = self._guided_loop(
+            steps, float(guidance_scale), float(g_weight), guided,
+            float(appearance_weight), batched=True,
+        )
+        gates = jnp.asarray(guidance_gates(steps, "ddpm"))
+        rngs = jnp.stack([jax.random.key(s) for s in seeds])
+        edit_lat, _, _ = loop(
+            pipe.params, inv_latent, ctx2, select, ref_maps, gates,
+            jnp.asarray(transforms, jnp.float32), rngs,
+        )
+        return [
+            pipe.latent_to_image(edit_lat[j])[0] for j in range(b)
+        ]
 
 
 def attn_stop(x):

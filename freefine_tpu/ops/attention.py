@@ -668,13 +668,18 @@ def _warp_feature_map(x: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
 
 
 def _coord_distance_grid(h: int, w: int) -> jnp.ndarray:
-    """[S, S] pairwise pixel distances, normalised by the grid diagonal
-    (DISTANCE_CLASS.get_coord_distance)."""
-    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
-                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    """[S, S] pairwise distances in affine_grid's normalised [-1, 1]
+    coordinates — per-axis 2*delta/size, the reference's exact metric
+    (DISTANCE_CLASS.get_coord_distance, generic_torch.py:126-139;
+    golden-pinned in tests/test_reference_golden_baselines2.py).  The
+    removal d-weight exp(-d) and the amodal interpolation radii both
+    inherit this scale."""
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32) * (2.0 / h),
+                          jnp.arange(w, dtype=jnp.float32) * (2.0 / w),
+                          indexing="ij")
     pts = jnp.stack([ys.reshape(-1), xs.reshape(-1)], -1)
-    d = jnp.linalg.norm(pts[:, None] - pts[None], axis=-1)
-    return d / jnp.sqrt(jnp.float32(h * h + w * w))
+    d2 = jnp.sum((pts[:, None] - pts[None]) ** 2, axis=-1)
+    return jnp.sqrt(d2 + 1e-12)
 
 
 def _interpolate_from_mask(feats, fg, dist):
@@ -694,17 +699,25 @@ def _interpolate_from_mask(feats, fg, dist):
 
 
 def _box_smooth_tokens(feats, h, w):
-    """3x3 mean smoothing of a [S, E] token map (stand-in for the
-    reference's Gaussian feature smoother, generic_torch.py:145-154)."""
+    """5x5 Gaussian smoothing of a [S, E] token map — the reference's
+    exact feature smoother (generic_torch.py GaussianSmoothing with
+    kernel_size=5: sigma = (5//2*2)/6 = 2/3 and the quirky exponent
+    exp(-((d)/(2*sigma))**2), normalised, ZERO padding; applied per
+    channel — golden-pinned in tests/test_reference_golden_baselines2.py)."""
+    d = jnp.arange(5, dtype=jnp.float32) - 2.0
+    sigma = (5 // 2 * 2) / 6.0
+    k1 = jnp.exp(-((d / (2.0 * sigma)) ** 2))
+    k2 = k1[:, None] * k1[None, :]
+    k2 = k2 / k2.sum()
     m = feats.reshape(1, h, w, -1)
-    s = jax.lax.reduce_window(
-        m, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1), "SAME"
+    c = m.shape[-1]
+    kern = jnp.tile(k2[:, :, None, None], (1, 1, 1, c)).astype(m.dtype)
+    out = jax.lax.conv_general_dilated(
+        m, kern, (1, 1), [(2, 2), (2, 2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
     )
-    c = jax.lax.reduce_window(
-        jnp.ones_like(m[..., :1]), 0.0, jax.lax.add,
-        (1, 3, 3, 1), (1, 1, 1, 1), "SAME",
-    )
-    return (s / c).reshape(feats.shape)
+    return out.reshape(feats.shape)
 
 
 def geodiff_attention(

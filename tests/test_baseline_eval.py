@@ -206,3 +206,28 @@ def test_baseline_eval_driver_design_edit_batched(tmp_path):
         if osp.exists(v["gen_img_path"])
     )
     assert n == 3
+
+
+@pytest.mark.slow
+def test_baseline_eval_driver_self_guidance_batched(tmp_path):
+    """batch_size>1 routes self_guidance through SelfGuidance.edit_batch
+    (jit(vmap) case batching, traced silhouette transforms) and still
+    writes every case, including the odd tail group."""
+    import os.path as osp
+
+    from freefine_tpu.baselines.eval import run_geobench_baseline
+
+    pipe = FreeFine(config=tiny_pipeline_config(), init_random=True)
+    ann = _mini_annotations(tmp_path, n_edit=3)
+    merged = run_geobench_baseline(
+        pipe, ann, str(tmp_path / "out_sgb"), baseline="self_guidance",
+        steps=3, batch_size=2,
+    )
+    n = sum(
+        1
+        for da in merged.values()
+        for ins in da["instances"].values()
+        for v in ins.values()
+        if osp.exists(v["gen_img_path"])
+    )
+    assert n == 3

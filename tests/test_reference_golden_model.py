@@ -56,28 +56,32 @@ def refmod():
 
     matplotlib.use("Agg")
 
-    def mod(name, **attrs):
-        m = types.ModuleType(name)
-        for k, v in attrs.items():
-            setattr(m, k, v)
-        sys.modules[name] = m
-        return m
+    from golden_stubs import make_module as mod
+    from golden_stubs import override
 
     def randn_tensor(shape, generator=None, device=None, dtype=None):
         return torch.from_numpy(_NOISE["next"]).to(dtype or torch.float32)
 
-    if "diffusers" not in sys.modules:
-        d = mod("diffusers", StableDiffusionPipeline=object, DDIMScheduler=object)
-        du = mod("diffusers.utils")
-        mod("diffusers.utils.torch_utils", randn_tensor=randn_tensor)
-        d.utils = du
-        pl = mod("pytorch_lightning", seed_everything=lambda *a, **k: 0)
-        mod(
-            "pytorch_lightning.utilities",
-            rank_zero_warn=lambda *a, **k: None,
-        )
-        pl.utilities = sys.modules["pytorch_lightning.utilities"]
-        mod("rembg", remove=lambda x, *a, **k: x)
+    # installed unconditionally (other golden files own incompatible
+    # diffusers stubs); override() restores prior state on teardown.
+    d = mod("diffusers", StableDiffusionPipeline=object, DDIMScheduler=object)
+    du = mod("diffusers.utils")
+    dut = mod("diffusers.utils.torch_utils", randn_tensor=randn_tensor)
+    d.utils = du
+    pl = mod("pytorch_lightning", seed_everything=lambda *a, **k: 0)
+    plu = mod(
+        "pytorch_lightning.utilities",
+        rank_zero_warn=lambda *a, **k: None,
+    )
+    pl.utilities = plu
+    restore = override({
+        "diffusers": d,
+        "diffusers.utils": du,
+        "diffusers.utils.torch_utils": dut,
+        "pytorch_lightning": pl,
+        "pytorch_lightning.utilities": plu,
+        "rembg": mod("rembg", remove=lambda x, *a, **k: x),
+    })
     # `from src.utils.attention import override_forward`
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
@@ -85,7 +89,8 @@ def refmod():
     spec = importlib.util.spec_from_file_location("ref_model", REF_MODEL)
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
-    return m
+    yield m
+    restore()
 
 
 @pytest.fixture(scope="module")

@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import importlib.util
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -50,49 +49,60 @@ REF_WARP = (
 
 @pytest.fixture(scope="module")
 def refwarp():
-    def mod(name, **attrs):
-        m = types.ModuleType(name)
-        for k, v in attrs.items():
-            setattr(m, k, v)
-        sys.modules[name] = m
-        return m
+    from golden_stubs import make_module as mod
+    from golden_stubs import override
 
     class _Stub:  # any class the module imports but never runs here
         def __init__(self, *a, **k):
             pass
 
-    if "pytorch3d" not in sys.modules:
-        mod("cupy", int32=int, float32=float)
-        gd = mod("GeoDiffuser")
-        gu = mod("GeoDiffuser.utils")
-        gd.utils = gu
-        gu.softsplat = mod("GeoDiffuser.utils.softsplat")
-        p3 = mod("pytorch3d")
-        p3.structures = mod(
-            "pytorch3d.structures", Pointclouds=_Stub, Meshes=_Stub
-        )
-        p3.renderer = mod(
-            "pytorch3d.renderer",
-            compositing=_Stub,
-            TexturesVertex=_Stub,
-            TexturesUV=_Stub,
-            MeshRenderer=_Stub,
-            MeshRasterizer=_Stub,
-        )
-        sys.modules["pytorch3d.renderer"].points = mod(
-            "pytorch3d.renderer.points", rasterize_points=_Stub
-        )
-        sys.modules["pytorch3d.renderer"].mesh = mod(
-            "pytorch3d.renderer.mesh", rasterize_meshes=_Stub
-        )
-        mod("pytorch3d.renderer.mesh.rasterizer", Fragments=_Stub)
+    # installed unconditionally (other golden fixtures own incompatible
+    # stubs of these names); override() restores prior state on teardown.
+    gd = mod("GeoDiffuser")
+    gu = mod("GeoDiffuser.utils")
+    gd.utils = gu
+    ss = mod("GeoDiffuser.utils.softsplat")
+    gu.softsplat = ss
+    p3 = mod("pytorch3d")
+    p3.structures = mod(
+        "pytorch3d.structures", Pointclouds=_Stub, Meshes=_Stub
+    )
+    p3.renderer = mod(
+        "pytorch3d.renderer",
+        compositing=_Stub,
+        TexturesVertex=_Stub,
+        TexturesUV=_Stub,
+        MeshRenderer=_Stub,
+        MeshRasterizer=_Stub,
+    )
+    p3.renderer.points = mod(
+        "pytorch3d.renderer.points", rasterize_points=_Stub
+    )
+    p3.renderer.mesh = mod(
+        "pytorch3d.renderer.mesh", rasterize_meshes=_Stub
+    )
+    restore = override({
+        "cupy": mod("cupy", int32=int, float32=float),
+        "GeoDiffuser": gd,
+        "GeoDiffuser.utils": gu,
+        "GeoDiffuser.utils.softsplat": ss,
+        "pytorch3d": p3,
+        "pytorch3d.structures": p3.structures,
+        "pytorch3d.renderer": p3.renderer,
+        "pytorch3d.renderer.points": p3.renderer.points,
+        "pytorch3d.renderer.mesh": p3.renderer.mesh,
+        "pytorch3d.renderer.mesh.rasterizer": mod(
+            "pytorch3d.renderer.mesh.rasterizer", Fragments=_Stub),
+    })
 
     spec = importlib.util.spec_from_file_location("ref_warp", REF_WARP)
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
     # the rasteriser is a CUDA path we never take: coordinate tests only
     m.SPLATTER = lambda coords, feats: torch.zeros_like(feats)
-    return m
+    yield m
+    restore()
+    sys.modules.pop("ref_warp", None)
 
 
 # -- transform factors ------------------------------------------------------

@@ -85,14 +85,17 @@ def test_ddpm_step_statistics():
     assert np.isfinite(np.asarray(out_final)).all()
 
 
-def test_silhouette_loss_zero_at_identity_transform_is_skipped():
+def test_silhouette_loss_small_at_identity_transform():
     maps = [jnp.asarray(np.random.default_rng(2).random((2, 64, 1)), jnp.float32)]
     f = jnp.zeros((1, 4, 4, 8), jnp.float32)
-    # pure translation of identical maps toward themselves: warping by zero
-    # shift must give (near) zero geometric loss
+    # identity transform of identical maps toward themselves: the loss is
+    # NOT exactly zero — the reference samples through grid_sample's
+    # align_corners=False grid (a ~half-pixel resample we replicate
+    # exactly; tests/test_reference_golden_baselines.py pins it) — but it
+    # must be small and finite
     loss = silhouette_loss(maps, maps, f, f, appearance_weight=0.0,
                            rot=0.0, sy=1.0, sx=1.0, dy=0.0, dx=0.0)
-    assert float(loss) < 1e-3
+    assert np.isfinite(float(loss)) and float(loss) < 0.25
 
 
 def test_token_select_positions():
@@ -137,3 +140,32 @@ def test_self_guidance_end_to_end_tiny():
                   g_weight=5.0)
     assert out.shape == (h, w, 3) and out.dtype == np.uint8
     assert np.isfinite(out.astype(np.float64)).all()
+
+
+@pytest.mark.slow
+def test_self_guidance_edit_batch_matches_single():
+    """edit_batch == per-case edit: one jit(vmap) program over cases, with
+    each case's silhouette transform riding as traced values."""
+    pipe = FreeFine(config=tiny_pipeline_config(), init_random=True)
+    sg = SelfGuidance(pipe)
+    h = w = pipe.config.height
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+            for _ in range(2)]
+    prompts = ["a photo of a cat", "a photo of a dog"]
+    objs = ["cat", "dog"]
+    edit_params = [
+        [0.1, 0.0, 0, 0, 0, 15.0, 1.2, 1.2, 1],
+        [-0.05, 0.1, 0, 0, 0, -30.0, 0.8, 1.0, 1],
+    ]
+    outs = sg.edit_batch(imgs, prompts, objs, edit_params, steps=4,
+                         g_weight=5.0, seed=[11, 12])
+    assert len(outs) == 2
+    for img, prompt, obj, ep, s, out_b in zip(
+        imgs, prompts, objs, edit_params, [11, 12], outs
+    ):
+        single = sg.edit(img, prompt, obj, ep, steps=4, g_weight=5.0,
+                         seed=s)
+        np.testing.assert_allclose(
+            out_b.astype(np.int16), single.astype(np.int16), atol=1
+        )
