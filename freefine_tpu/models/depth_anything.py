@@ -136,9 +136,11 @@ class DPTHead(nn.Module):
                     dtype=dt, name="resize_1",
                 )(x)
             elif i == 3:
+                # explicit torch pad=1 (== SAME only at the odd 37-patch
+                # grid of the 518 default; even grids would deviate)
                 x = nn.Conv(
                     cfg.out_channels[i], (3, 3), strides=(2, 2),
-                    dtype=dt, name="resize_3",
+                    padding=((1, 1), (1, 1)), dtype=dt, name="resize_3",
                 )(x)
             outs.append(x)
 

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from freefine_tpu.models.layers import LayerNorm32
+from freefine_tpu.ops.resize import interpolate_bicubic
 
 
 @dataclasses.dataclass(frozen=True)
@@ -113,9 +114,10 @@ class ImageEncoder(nn.Module):
         )
         g0 = int(math.sqrt(num_pos - 1))
         grid = pos[:, 1:].reshape(1, g0, g0, cfg.patch_embed_dim)
-        grid = jax.image.resize(
-            grid, (1, gh, gh, cfg.patch_embed_dim), method="bicubic"
-        )
+        # torch-convention bicubic (get_abs_pos, efficient_sam_encoder.py:166;
+        # jax.image.resize's a=-0.5 kernel deviates ~10% — golden-pinned in
+        # tests/test_reference_golden_sam.py)
+        grid = interpolate_bicubic(grid, (gh, gh))
         x = x + grid.astype(cfg.dtype)
 
         x = x.reshape(b, gh * gh, cfg.patch_embed_dim)
@@ -308,9 +310,11 @@ class MaskDecoder(nn.Module):
                 up = nn.GroupNorm(num_groups=1, name=f"upscale_norm_{i}")(up)
             up = nn.gelu(up, approximate=False)
 
+        # two hidden layers: hardcoded num_layers=2 in the reference's
+        # output_hypernetworks_mlps (efficient_sam_decoder.py:201-212)
         hyper = jnp.stack(
             [
-                MLPBlock(c, dims[-1], 1, cfg.dtype, name=f"hyper_mlps_{i}")(
+                MLPBlock(c, dims[-1], 2, cfg.dtype, name=f"hyper_mlps_{i}")(
                     mask_out[:, i]
                 )
                 for i in range(num_mask_tokens)
@@ -349,8 +353,13 @@ class EfficientSAM(nn.Module):
         cfg = self.config
         x = (images01 - IMAGENET_MEAN) / IMAGENET_STD
         if x.shape[1] != cfg.img_size or x.shape[2] != cfg.img_size:
+            # torch F.interpolate(bilinear, align_corners=False) == jax
+            # bilinear with antialias OFF (the reference preprocess,
+            # efficient_sam.py:224-233; resize/normalize commute since
+            # bilinear weights sum to 1)
             x = jax.image.resize(
-                x, (x.shape[0], cfg.img_size, cfg.img_size, 3), method="bilinear"
+                x, (x.shape[0], cfg.img_size, cfg.img_size, 3),
+                method="bilinear", antialias=False,
             )
         return self.image_encoder(x)
 
@@ -408,5 +417,7 @@ def segment_with_box(
     masks, iou = model.apply(params, img, pts, lbl)
     best = masks[0, 0, 0]
     h, w = image_uint8.shape[:2]
-    best = jax.image.resize(best, (h, w), method="bicubic")
+    # torch-convention bicubic (the reference's output interpolate,
+    # efficient_sam.py:127-129)
+    best = interpolate_bicubic(best[..., None], (h, w))[..., 0]
     return (np.asarray(best) > 0).astype(np.uint8) * 255

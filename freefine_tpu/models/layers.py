@@ -140,8 +140,12 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # torch Conv2d(k=3, s=2, padding=1) pads (1,1); flax SAME pads
+        # (0,1) at even sizes — a real off-by-one vs diffusers
+        # Downsample2D, caught by the sgm video-UNet golden test
         return nn.Conv(
-            self.out_channels, (3, 3), strides=(2, 2), dtype=self.dtype, name="conv"
+            self.out_channels, (3, 3), strides=(2, 2),
+            padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv"
         )(x)
 
 

@@ -62,14 +62,16 @@ def sv3d_config() -> VideoUNetConfig:
 
 
 class AlphaBlender(nn.Module):
-    """Learned spatial/temporal blend: out = a*temporal + (1-a)*spatial with
-    a = sigmoid(mix_factor) (video_model.py merge_strategy='learned...')."""
+    """Learned spatial/temporal blend: out = a*spatial + (1-a)*temporal
+    with a = sigmoid(mix_factor) (sgm util.py AlphaBlender.forward:388-399,
+    merge_strategy='learned_with_images' on the video path; the earlier
+    a*temporal form was reversed — caught by the sgm golden test)."""
 
     @nn.compact
     def __call__(self, spatial, temporal):
         mix = self.param("mix_factor", nn.initializers.zeros, (1,))
         a = jax.nn.sigmoid(mix[0]).astype(spatial.dtype)
-        return a * temporal + (1.0 - a) * spatial
+        return a * spatial + (1.0 - a) * temporal
 
 
 class TemporalResBlock(nn.Module):
@@ -86,8 +88,14 @@ class TemporalResBlock(nn.Module):
         bt, h, w, c = x.shape
         b = bt // self.num_frames
         t = self.num_frames
-        xt = x.reshape(b, t, h, w, c)
-        y = GroupNorm32(self.norm_num_groups, name="norm1")(xt.reshape(bt, h, w, c))
+        # torch runs this block on the 5-D [B, C, T, H, W] tensor, so its
+        # GroupNorms reduce over (C/g, T, H, W) JOINTLY across frames
+        # (sgm ResBlock with dims=3); folding T into the row axis gives
+        # the same statistics in NHWC.  (Per-frame stats here was a real
+        # deviation caught by the sgm golden test.)
+        y = GroupNorm32(self.norm_num_groups, name="norm1")(
+            x.reshape(b, t * h, w, c)
+        )
         y = nn.silu(y).reshape(b, t, h, w, c)
         # conv over (time, 1, 1): Conv with kernel (3,1,1) on [b, t, h*w, c]
         y = nn.Conv(
@@ -99,7 +107,7 @@ class TemporalResBlock(nn.Module):
             )  # temb [B*T, E]
             y = y + proj.reshape(b, t, 1, self.channels)
         y = GroupNorm32(self.norm_num_groups, name="norm2")(
-            y.reshape(bt, h, w, self.channels)
+            y.reshape(b, t * h, w, self.channels)
         )
         y = nn.silu(y).reshape(b, t, h * w, self.channels)
         y = nn.Conv(
@@ -301,8 +309,9 @@ class VideoUNet(nn.Module):
                 skips.append(h)
             if i < n - 1:
                 h = nn.Conv(
-                    ch, (3, 3), strides=(2, 2), dtype=dtype, name=f"down_{i}_ds"
-                )(h)
+                    ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    dtype=dtype, name=f"down_{i}_ds"
+                )(h)  # torch pad=1, not SAME's (0,1) at even sizes
                 skips.append(h)
 
         mid_ch = ch0 * cfg.channel_mult[-1]

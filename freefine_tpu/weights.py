@@ -888,6 +888,99 @@ def convert_depth_anything_hf(flax_params, tensors, dtype=None):
     return {"params": out}
 
 
+# -- EfficientSAM ---------------------------------------------------------------
+
+_SAM_BARE_PARAMS = {
+    # flax "<module-key>.<leaf>" -> exact torch state-dict key
+    "image_encoder.pos_embed": "image_encoder.pos_embed",
+    "prompt_encoder.positional_encoding_gaussian_matrix":
+        "prompt_encoder.pe_layer.positional_encoding_gaussian_matrix",
+    "prompt_encoder.invalid_points": "prompt_encoder.invalid_points.weight",
+    "prompt_encoder.point_embeddings": "prompt_encoder.point_embeddings.weight",
+    "prompt_encoder.bbox_top_left_embeddings":
+        "prompt_encoder.bbox_top_left_embeddings.weight",
+    "prompt_encoder.bbox_bottom_right_embeddings":
+        "prompt_encoder.bbox_bottom_right_embeddings.weight",
+    "mask_decoder.iou_token": "mask_decoder.iou_token.weight",
+    "mask_decoder.mask_tokens": "mask_decoder.mask_tokens.weight",
+}
+
+_SAM_REWRITES = (
+    (r"^image_encoder\.patch_embed$", "image_encoder.patch_embed.proj"),
+    (r"\.attn_qkv$", ".attn.qkv"),
+    (r"\.attn_proj$", ".attn.proj"),
+    (r"\.mlp_fc1$", ".mlp.fc1"),
+    (r"\.mlp_fc2$", ".mlp.fc2"),
+    (r"^mask_decoder\.layers\.", "mask_decoder.transformer.layers."),
+    (r"^mask_decoder\.(final_attn_token_to_image|norm_final_attn)",
+     r"mask_decoder.transformer.\1"),
+    (r"^(mask_decoder\.transformer\.layers\.\d+)\.mlp\.layers\.(\d+)$",
+     r"\1.mlp.layers.\2.0"),
+    (r"^mask_decoder\.upscale\.(\d+)$",
+     r"mask_decoder.final_output_upscaling_layers.\1.0"),
+    (r"^mask_decoder\.upscale_norm\.(\d+)$",
+     r"mask_decoder.final_output_upscaling_layers.\1.1"),
+    (r"^mask_decoder\.hyper_mlps\.(\d+)\.layers\.(\d+)$",
+     r"mask_decoder.output_hypernetworks_mlps.\1.layers.\2.0"),
+    (r"^mask_decoder\.hyper_mlps\.(\d+)\.fc$",
+     r"mask_decoder.output_hypernetworks_mlps.\1.fc"),
+    (r"^mask_decoder\.iou_prediction_head\.layers\.(\d+)$",
+     r"mask_decoder.iou_prediction_head.layers.\1.0"),
+)
+
+
+def convert_efficient_sam(flax_params, tensors, dtype=None):
+    """Reference EfficientSam state dict (the vendored torch model,
+    /root/reference/sam/efficient_sam/) -> flax `models.efficient_sam
+    .EfficientSAM` params.  Golden-pinned end-to-end against the
+    reference's own model in tests/test_reference_golden_sam.py.
+
+    Layout notes beyond the usual OIHW/OI transposes: the mask-decoder
+    upscalers are ConvTranspose2d — torch stores (in, out, kh, kw) and
+    flax `nn.ConvTranspose` expects the SPATIALLY FLIPPED (kh, kw, in,
+    out) kernel (lax.conv_transpose does not flip; torch's convT is the
+    conv gradient, which does)."""
+    flat = jax.tree_util.tree_flatten_with_path(flax_params["params"])[0]
+    treedef = jax.tree_util.tree_structure(flax_params["params"])
+    leaves = []
+    for path, leaf in flat:
+        *mods, leaf_name = path
+        key = _flax_path_to_key(mods)
+        leaf_str = leaf_name.key if hasattr(leaf_name, "key") else str(leaf_name)
+        bare = f"{key}.{leaf_str}" if key else leaf_str
+        if bare in _SAM_BARE_PARAMS:
+            t = np.asarray(tensors[_SAM_BARE_PARAMS[bare]])
+        else:
+            for pat, rep in _SAM_REWRITES:
+                key = re.sub(pat, rep, key)
+            if re.search(r"final_output_upscaling_layers\.\d+\.0$", key) \
+                    and leaf_str == "kernel":
+                t = np.asarray(tensors[f"{key}.weight"])
+                t = t.transpose(2, 3, 0, 1)[::-1, ::-1]  # convT: flip + IOHW
+            elif leaf_str == "weight":  # LayerNorm2d holds weight/bias directly
+                t = np.asarray(tensors[f"{key}.weight"])
+            else:
+                t = _fetch(tensors, key, leaf_str, leaf.shape)
+        if t.shape != tuple(leaf.shape):
+            raise ValueError(
+                f"{bare}: ckpt {t.shape} vs flax {tuple(leaf.shape)}")
+        leaves.append(jnp.asarray(t, dtype or leaf.dtype))
+    return {"params": jax.tree_util.tree_unflatten(treedef, leaves)}
+
+
+def load_efficient_sam(flax_params, ckpt_path: str, dtype=None):
+    """Load an EfficientSAM .pt checkpoint (torch.save'd
+    {"model": state_dict}, the layout of the published
+    efficient_sam_vits.pt / efficient_sam_vitt.pt files the reference's
+    build_efficient_sam loads)."""
+    import torch  # local import: weights.py is otherwise torch-free
+
+    obj = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+    sd = obj.get("model", obj)
+    tensors = {k: v.numpy() for k, v in sd.items()}
+    return convert_efficient_sam(flax_params, tensors, dtype=dtype)
+
+
 # -- single-file LDM checkpoints (v1-5-pruned.safetensors style) ----------------
 
 _LDM_UNET_PREFIX = "model.diffusion_model."
