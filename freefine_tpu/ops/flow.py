@@ -34,8 +34,10 @@ def correlation_volume(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray:
 
 def avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
     """2x2 stride-2 average pool over the trailing two spatial dims of
-    [N, H, W]."""
+    [N, H, W].  Odd trailing rows/cols are dropped, matching torch
+    F.avg_pool2d(2, 2)'s floor behaviour (corr_raft.py:25)."""
     n, h, w = x.shape
+    x = x[:, : h // 2 * 2, : w // 2 * 2]
     x = x.reshape(n, h // 2, 2, w // 2, 2)
     return x.mean(axis=(2, 4))
 
@@ -82,8 +84,13 @@ def corr_lookup(
         centers = flat_coords / (2.0 ** i)
 
         def one(pix_corr, center):
-            yy = center[1] + dyy
-            xx = center[0] + dxx
+            # RAFT enumerates the window TRANSPOSED: delta=(dy[a], dx[b])
+            # is added to the (x, y) centroid, so the x-offset varies
+            # along the FIRST window axis (corr_raft.py:37-43 —
+            # upstream RAFT does the same; trained checkpoints encode
+            # this ordering in the motion encoder's first conv).
+            yy = center[1] + dxx
+            xx = center[0] + dyy
             return bilinear_sample_2d(pix_corr, yy, xx)
 
         win = jax.vmap(one)(level, centers)           # [BHW, 2r+1, 2r+1]
