@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from freefine_tpu.models.layers import LayerNorm32
+from freefine_tpu.ops.resize import interpolate_bicubic
 
 
 @dataclasses.dataclass(frozen=True)
@@ -130,7 +131,11 @@ class DINOv2(nn.Module):
         if (gh, gw) != (cfg.pos_embed_size, cfg.pos_embed_size):
             g = cfg.pos_embed_size
             grid = patch_pos.reshape(1, g, g, cfg.dim)
-            grid = jax.image.resize(grid, (1, gh, gw, cfg.dim), method="bicubic")
+            # torch-convention bicubic (interpolate_pos_encoding uses
+            # F.interpolate's A=-0.75 kernel, not jax's a=-0.5; identity
+            # at the native 37x37 grid, so the hf-parity test could not
+            # see it)
+            grid = interpolate_bicubic(grid, (gh, gw))
             patch_pos = grid.reshape(1, gh * gw, cfg.dim)
         x = jnp.concatenate([jnp.tile(cls, (b, 1, 1)), tokens], axis=1)
         x = x + jnp.concatenate([cls_pos, patch_pos], axis=1).astype(cfg.dtype)

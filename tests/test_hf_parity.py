@@ -185,6 +185,16 @@ def test_dinov2_parity_vs_transformers():
     np.testing.assert_allclose(np.asarray(cls), out[:, 0], atol=3e-5)
     np.testing.assert_allclose(np.asarray(patch), out[:, 1:], atol=3e-5)
 
+    # non-native size: drives interpolate_pos_encoding (torch-convention
+    # bicubic, A=-0.75 — identity at the native grid, so the case above
+    # cannot see a kernel mismatch)
+    x2 = np.random.default_rng(5).normal(size=(1, 56, 42, 3)).astype(np.float32)
+    with torch.no_grad():
+        out2 = hf(torch.tensor(x2.transpose(0, 3, 1, 2))).last_hidden_state.numpy()
+    patch2, cls2 = model.apply(params, jnp.asarray(x2))
+    np.testing.assert_allclose(np.asarray(cls2), out2[:, 0], atol=3e-5)
+    np.testing.assert_allclose(np.asarray(patch2), out2[:, 1:], atol=3e-5)
+
 
 @pytest.mark.slow
 def test_depth_anything_parity_vs_transformers():
