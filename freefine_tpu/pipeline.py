@@ -107,6 +107,13 @@ def _method_and_gates(
 # default 1 (no unroll).
 _SCAN_UNROLL = int(os.environ.get("FREEFINE_SCAN_UNROLL", "1"))
 
+# FREEFINE_FUSED_PIPELINE=1 compiles DDIM inversion + the edit regeneration
+# scan into ONE jitted program for `FreeFine.generation` (trajectory buffer
+# stays program-internal, the input latents are donated, and the dispatch
+# boundary between the two scans disappears).  Perf hypothesis knob —
+# paired chip measurement in BATCH_SCALING.md; default off.
+_FUSED_PIPELINE = os.environ.get("FREEFINE_FUSED_PIPELINE", "0") == "1"
+
 
 def _scan(body, init, xs):
     return jax.lax.scan(body, init, xs, unroll=_SCAN_UNROLL)
@@ -350,11 +357,14 @@ def sample_bggen_loop(
     eta: float,
     local_text_edit: bool,
     local_perturbation: bool,
+    return_intermediates: bool = False,
 ) -> jnp.ndarray:
     """Background generation / removal (forward_sampling_background_gen,
     model.py:656-812).  The reference stream at step i is the inverted
     latent at the *matching* noise level (refer_latents[i - start_step],
-    model.py:757).
+    model.py:757).  With return_intermediates, also returns the per-step
+    generated-stream latents [K, h, w, c] (the reference's latents_list,
+    model.py:808).
 
     Stream layout follows text_emb's leading dim, as in `sample_edit_loop`:
     3 rows -> deduped [u_g, r, c_g]; 4 rows -> legacy [u_g, u_r, c_g, c_r]."""
@@ -383,9 +393,13 @@ def sample_bggen_loop(
         lat2, _ = ctrl_step(
             schedule, noise, t, lat2, var_mask, eta, sub, ddim_streams_from=1
         )
-        return (lat2[:1], key), None
+        return (lat2[:1], key), (
+            lat2[0] if return_intermediates else None
+        )
 
-    (lat, _), _ = _scan(body, (init, rng), (ts, cg, gates, refs))
+    (lat, _), inter = _scan(body, (init, rng), (ts, cg, gates, refs))
+    if return_intermediates:
+        return lat, inter
     return lat
 
 
@@ -409,9 +423,12 @@ def sample_compose_loop(
     eta: float,
     local_text_edit: bool,
     local_perturbation: bool,
+    return_intermediates: bool = False,
 ) -> jnp.ndarray:
     """N-image composition (forward_sampling_compose, model.py:301-435).
-    Stream layout per step: [edit, ref_1..ref_N, cond_edit]."""
+    Stream layout per step: [edit, ref_1..ref_N, cond_edit].  With
+    return_intermediates, also returns the per-step edit-stream latents
+    [K, h, w, c] (the reference's latents_list, model.py:431)."""
     k = traj.shape[0] - 1
     ts = schedule.timesteps[start_step : start_step + k]
     refs = jnp.flip(traj[:k], axis=0)[:, 1:]  # [K, N, h, w, c]
@@ -435,9 +452,11 @@ def sample_compose_loop(
             noise = nu + guidance_scale * (nc - nu)
         key, sub = jax.random.split(key)
         lat, _ = ctrl_step(schedule, noise, t, lat, var_mask, eta, sub)
-        return (lat, key), None
+        return (lat, key), (lat[0] if return_intermediates else None)
 
-    (lat, _), _ = _scan(body, (init, rng), (ts, cg, gates, refs))
+    (lat, _), inter = _scan(body, (init, rng), (ts, cg, gates, refs))
+    if return_intermediates:
+        return lat, inter
     return lat
 
 
@@ -746,7 +765,9 @@ class FreeFine:
         coarse = self._prep_image(coarse_input)
         ori = self._prep_image(ori_img)
         lat2 = self.image_to_latent(np.stack([coarse, ori]))  # one VAE batch
-        traj = self.invert(lat2, num_step, start_step)
+        traj = None if _FUSED_PIPELINE else self.invert(
+            lat2, num_step, start_step
+        )
 
         em = mask_ops.prepare_various_mask(
             jnp.asarray(target_mask), jnp.asarray(ori_mask),
@@ -770,7 +791,8 @@ class FreeFine:
         text_emb = self._edit_text_embeddings(guidance_text)
 
         key = (
-            "edit", num_step, start_step, ecfg, guidance_scale, eta,
+            "edit_fused" if _FUSED_PIPELINE else "edit",
+            num_step, start_step, ecfg, guidance_scale, eta,
             local_text_edit, local_perturbation, return_intermediates,
         )
         if key not in self._jit_cache:
@@ -783,11 +805,27 @@ class FreeFine:
                 local_perturbation=local_perturbation,
                 return_intermediates=return_intermediates,
             )
-            self._jit_cache[key] = jax.jit(
-                lambda p, *a, _fn=fn, _s=schedule, _e=ecfg: _fn(p, _s, _e, *a)
-            )
+            if _FUSED_PIPELINE:
+                unet_plain = self._unet_apply_plain
+                num_actual = num_step - start_step
+
+                def fused(p, lat, inv_emb, *a, _fn=fn, _s=schedule):
+                    tr = ddim_invert_loop(
+                        unet_plain, p, _s, lat, inv_emb, num_actual
+                    )
+                    return _fn(p, _s, ecfg, tr, *a)
+
+                self._jit_cache[key] = jax.jit(fused, donate_argnums=(1,))
+            else:
+                self._jit_cache[key] = jax.jit(
+                    lambda p, *a, _fn=fn, _s=schedule, _e=ecfg: _fn(p, _s, _e, *a)
+                )
+        head = (
+            (lat2, self._inversion_text_embeddings(2))
+            if _FUSED_PIPELINE else (traj,)
+        )
         out = self._jit_cache[key](
-            self.params, traj, text_emb, state,
+            self.params, *head, text_emb, state,
             jnp.asarray(cg), jnp.asarray(gates),
             em.completion_cfg, em.local_var, jax.random.key(seed),
         )

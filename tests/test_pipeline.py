@@ -131,3 +131,18 @@ def test_jit_cache_reuse(pipe, case):
         seed=2,
     )
     assert len(pipe._jit_cache) == max(n_before, len(pipe._jit_cache))
+
+
+def test_generation_fused_pipeline_matches(pipe, case, monkeypatch):
+    """FREEFINE_FUSED_PIPELINE (invert + edit scan in ONE jitted program,
+    donated input latents) must be bit-identical to the two-program path."""
+    import freefine_tpu.pipeline as P
+
+    img, m, coarse, tm = case
+    h, w = img.shape[:2]
+    kw = dict(num_step=6, start_step=3, end_step=1, use_auto_draw=True,
+              cons_area=np.zeros((h, w), np.uint8), seed=11)
+    want = pipe.generation(img, m, coarse, tm, "a cat", **kw)
+    monkeypatch.setattr(P, "_FUSED_PIPELINE", True)
+    got = pipe.generation(img, m, coarse, tm, "a cat", **kw)
+    np.testing.assert_array_equal(got, want)
