@@ -115,9 +115,12 @@ def make_clip_encoder(params) -> Callable[[np.ndarray], np.ndarray]:
 def make_dino_encoder(params, config=None) -> Callable[[np.ndarray], np.ndarray]:
     """Jitted DINO ViT feature fn (cls token) from converted params.
 
-    The reference uses DINOv1 ViT-B/16 for SUBC; the same `DINOv2` module
+    The reference uses DINO-v1 ViT-B/16 for SUBC; the same `DINOv2` module
     (patch 16, no-op LayerScale filled with ones at conversion) hosts those
-    weights.  FID_DINO uses DINOv2 ViT-B/14 (fid_dino.py:22-42).
+    weights — load with `weights.load_dino_v1(params, "dino_vitb16_
+    pretrain.pth")` (convert_dino_v1 is torch-parity-tested vs ViTModel,
+    tests/test_hf_parity.py).  FID_DINO uses DINOv2 ViT-B/14
+    (fid_dino.py:22-42, `weights.convert_dinov2`).
     """
     import jax
     import jax.numpy as jnp

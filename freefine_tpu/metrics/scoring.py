@@ -4,9 +4,11 @@ HPS (reference evaluation/metrics/human_preference_score.py:40-83): per
 image, diag(image_features @ text_features.T) with the GPT-4V caption as
 text, both feature sets L2-normalised — averaged over all cases.
 
-IRS (image_reward.py:6-35) needs ImageReward-v1.0 (a BLIP backbone + MLP
-head); `irs_score` defines the interface and raises until those weights/
-modules are converted (tracked gap, see README).
+IRS (image_reward.py:6-35): ImageReward-v1.0 (BLIP backbone + MLP head) is
+hosted by `models/blip.ImageReward` (torch-parity-tested,
+tests/test_hf_parity.py) through `weights.convert_blip_image_reward`;
+`make_irs_scorer` builds the jitted scorer.  HPS weights load via
+`weights.load_hps` (open_clip ViT-H checkpoint -> both towers).
 """
 
 from __future__ import annotations

@@ -198,6 +198,11 @@ BLIP_STD = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
 
 
 def preprocess_blip(img_uint8: jnp.ndarray, size: int = 224) -> jnp.ndarray:
+    """On-device convenience preprocess (jax bicubic = Keys a=-0.5, NOT the
+    PIL kernel).  Metric scoring must NOT use this: the reference-exact
+    IRS chain is `metrics.preprocess.clip_image_transform` (PIL-backed,
+    what `make_irs_scorer` uses); this helper only serves
+    device-resident demos where a ~1e-2 resample difference is fine."""
     x = img_uint8.astype(jnp.float32) / 255.0
     x = jax.image.resize(x, (size, size, 3), method="bicubic")
     return ((x - BLIP_MEAN) / BLIP_STD)[None]

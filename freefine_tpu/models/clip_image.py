@@ -27,6 +27,9 @@ class CLIPVisionConfig:
     num_layers: int = 12
     num_heads: int = 12
     projection_dim: int = 512
+    # OpenAI CLIP towers (B/32 BGC encoder) use QuickGELU; OpenCLIP-trained
+    # towers (laion2B ViT-H/14, the HPSv2.1 backbone) use exact GELU.
+    activation: str = "quick_gelu"
     dtype: jnp.dtype = jnp.float32
 
 
@@ -36,10 +39,13 @@ def clip_vit_b32() -> CLIPVisionConfig:
 
 def clip_vit_h14() -> CLIPVisionConfig:
     """OpenCLIP ViT-H/14 (the HPSv2.1 backbone,
-    evaluation/metrics/human_preference_score.py:8-83)."""
+    evaluation/metrics/human_preference_score.py:8-83).  open_clip's
+    ViT-H-14 model card has no `quick_gelu` flag, so its MLPs are exact
+    GELU — unlike the OpenAI-checkpoint towers."""
     return CLIPVisionConfig(
         patch_size=14, hidden_size=1280, intermediate_size=5120,
         num_layers=32, num_heads=16, projection_dim=1024,
+        activation="gelu",
     )
 
 
@@ -49,7 +55,12 @@ CLIP_STD = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
 
 def preprocess_clip(img_uint8: jnp.ndarray, size: int = 224) -> jnp.ndarray:
     """uint8 RGB [H, W, 3] -> [1, size, size, 3], bicubic resize of the
-    short side + center crop + CLIP normalisation (clip.load preprocess)."""
+    short side + center crop + CLIP normalisation (clip.load preprocess).
+
+    On-device convenience path: jax bicubic (Keys a=-0.5) approximates
+    PIL's kernel to ~1e-2.  Metric scoring must NOT use this — the
+    reference-exact chain is `metrics.preprocess.clip_image_transform`
+    (PIL-backed; what make_clip_encoder / make_hps_encoders use)."""
     x = img_uint8.astype(jnp.float32) / 255.0
     h, w = x.shape[:2]
     scale = size / min(h, w)
@@ -101,7 +112,7 @@ class CLIPImageEncoder(nn.Module):
                 h_penultimate = h
             h = CLIPEncoderLayer(
                 cfg.num_heads, cfg.intermediate_size, cfg.dtype,
-                name=f"layers_{i}",
+                cfg.activation, name=f"layers_{i}",
             )(h, zero_mask)
         if penultimate:
             return h_penultimate

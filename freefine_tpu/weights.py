@@ -663,6 +663,172 @@ def convert_open_clip_text(flax_params, tensors, prefix="text.", dtype=None):
     return {"params": jax.tree_util.tree_unflatten(treedef, leaves)}
 
 
+def convert_open_clip_vision(flax_params, tensors, prefix="visual.", dtype=None):
+    """open_clip vision tower state dict -> flax CLIPImageEncoder params.
+
+    The HPSv2.1 checkpoint's image side (human_preference_score.py:8-39
+    loads `ViT-H-14` via open_clip) stores: {prefix}class_embedding,
+    {prefix}positional_embedding, {prefix}conv1.weight (bias-free patch
+    stem), {prefix}ln_pre/{prefix}ln_post, {prefix}proj (already
+    [width, proj_dim] — no transpose), and per block
+    {prefix}transformer.resblocks.N.{ln_1,ln_2,attn.in_proj_weight,
+    attn.in_proj_bias,attn.out_proj,mlp.c_fc,mlp.c_proj}.  The fused
+    in_proj rows split (q, k, v) into our separate projections."""
+    t = dict(tensors)
+    flat = jax.tree_util.tree_flatten_with_path(flax_params["params"])[0]
+    treedef = jax.tree_util.tree_structure(flax_params["params"])
+    leaves = []
+    for path, leaf in flat:
+        *mods, leaf_name = path
+        segs = [p.key if hasattr(p, "key") else str(p) for p in mods]
+        segs = [s for s in segs if s not in ("LayerNorm_0",)]
+        leaf_str = leaf_name.key if hasattr(leaf_name, "key") else str(leaf_name)
+        key = ".".join(_module_to_diffusers(s) for s in segs)
+        suffix = _LEAF_MAP.get(leaf_str)
+        if leaf_str == "class_embedding":
+            arr = np.asarray(t[f"{prefix}class_embedding"])
+        elif leaf_str == "position_embedding":
+            arr = np.asarray(t[f"{prefix}positional_embedding"])
+        elif leaf_str == "visual_projection":
+            arr = np.asarray(t[f"{prefix}proj"])
+        elif key.startswith("patch_embedding"):
+            # torch conv OIHW -> flax HWIO
+            arr = np.asarray(t[f"{prefix}conv1.weight"]).transpose(2, 3, 1, 0)
+        elif key.startswith("pre_layrnorm"):
+            arr = np.asarray(t[f"{prefix}ln_pre.{suffix}"])
+        elif key.startswith("post_layernorm"):
+            arr = np.asarray(t[f"{prefix}ln_post.{suffix}"])
+        else:
+            m = re.match(r"layers\.(\d+)\.(.+)", key)
+            assert m, key
+            base = f"{prefix}transformer.resblocks.{m.group(1)}"
+            sub = m.group(2)
+            if sub.startswith("self_attn.") and sub != "self_attn.out_proj":
+                which = {"q": 0, "k": 1, "v": 2}[sub.split(".")[1][0]]
+                fused = np.asarray(
+                    t[f"{base}.attn.in_proj_"
+                      + ("weight" if leaf_str == "kernel" else "bias")]
+                )
+                arr = np.split(fused, 3, axis=0)[which]
+                if leaf_str == "kernel":
+                    arr = arr.T
+            else:
+                oc_sub = {
+                    "layer_norm1": "ln_1", "layer_norm2": "ln_2",
+                    "self_attn.out_proj": "attn.out_proj",
+                    "mlp.fc1": "mlp.c_fc", "mlp.fc2": "mlp.c_proj",
+                }[sub]
+                arr = np.asarray(t[f"{base}.{oc_sub}.{suffix}"])
+                if leaf_str == "kernel" and arr.ndim == 2:
+                    arr = arr.T
+        if arr.shape != tuple(leaf.shape):
+            raise ValueError(f"{key}.{leaf_str}: {arr.shape} vs {tuple(leaf.shape)}")
+        leaves.append(jnp.asarray(arr, dtype or leaf.dtype))
+    return {"params": jax.tree_util.tree_unflatten(treedef, leaves)}
+
+
+def load_hps(image_flax_params, text_flax_params, ckpt_path: str, dtype=None):
+    """HPSv2.1 checkpoint (.pt, an open_clip ViT-H-14 state dict — the
+    reference loads it at human_preference_score.py:31-39) ->
+    (image_params, text_params) for CLIPImageEncoder(clip_vit_h14()) and
+    OpenCLIPText(open_clip_text_h14())."""
+    import torch
+
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    tensors = {k: v.numpy() for k, v in sd.items()}
+    return (
+        convert_open_clip_vision(
+            image_flax_params, tensors, prefix="visual.", dtype=dtype
+        ),
+        convert_open_clip_text(text_flax_params, tensors, prefix="", dtype=dtype),
+    )
+
+
+def u2net_torch_key(path_segs, leaf_str):
+    """Map one flax U2Net leaf to its official U-2-Net state-dict key.
+
+    The published u2net.pth / u2netp.pth (xuebinqin/U-2-Net — the weights
+    rembg repackages as its onnx sessions; reference `get_mask_from_rembg`,
+    src/demo/model.py:982-1006) name every conv+BN pair through the
+    REBNCONV module's `conv_s1` / `bn_s1` children; side and fuse convs are
+    plain `sideN.weight` / `outconv.weight`."""
+    segs = list(path_segs)
+    if segs and segs[-1] == "conv":  # ConvBNReLU's conv submodule
+        return ".".join(segs[:-1]) + ".conv_s1." + (
+            "weight" if leaf_str == "kernel" else "bias"
+        )
+    bn = {
+        "bn_scale": "bn_s1.weight",
+        "bn_bias": "bn_s1.bias",
+        "bn_mean": "bn_s1.running_mean",
+        "bn_var": "bn_s1.running_var",
+    }
+    if leaf_str in bn:
+        return ".".join(segs) + "." + bn[leaf_str]
+    # side1..side6 / outconv plain convs
+    return ".".join(segs) + "." + ("weight" if leaf_str == "kernel" else "bias")
+
+
+def convert_u2net(flax_params, tensors, dtype=None):
+    """Official U-2-Net state dict (u2net.pth / u2netp.pth layout) -> flax
+    U2Net params.  Extra checkpoint entries (num_batches_tracked) are
+    ignored; every flax leaf must resolve or this raises."""
+    flat = jax.tree_util.tree_flatten_with_path(flax_params["params"])[0]
+    treedef = jax.tree_util.tree_structure(flax_params["params"])
+    leaves = []
+    for path, leaf in flat:
+        *mods, leaf_name = path
+        segs = [p.key if hasattr(p, "key") else str(p) for p in mods]
+        leaf_str = leaf_name.key if hasattr(leaf_name, "key") else str(leaf_name)
+        key = u2net_torch_key(segs, leaf_str)
+        if key not in tensors:
+            raise KeyError(f"missing u2net checkpoint tensor {key}")
+        arr = np.asarray(tensors[key])
+        if leaf_str == "kernel":  # conv OIHW -> HWIO
+            arr = arr.transpose(2, 3, 1, 0)
+        if arr.shape != tuple(leaf.shape):
+            raise ValueError(f"{key}: {arr.shape} vs {tuple(leaf.shape)}")
+        leaves.append(jnp.asarray(arr, dtype or leaf.dtype))
+    return {"params": jax.tree_util.tree_unflatten(treedef, leaves)}
+
+
+def load_u2net(flax_params, ckpt_path: str, dtype=None):
+    """u2net.pth / u2netp.pth -> flax U2Net params (the rembg-replacement
+    saliency path for the SV3D re-mask step)."""
+    import torch
+
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    tensors = {k: v.numpy() for k, v in sd.items()}
+    return convert_u2net(flax_params, tensors, dtype=dtype)
+
+
+def convert_dino_v1(flax_params, tensors, dtype=None):
+    """DINO-v1 ViT state dict (facebookresearch/dino torchhub layout —
+    what SUBC's `dino_vitb16` uses, VBench/subject_consistency.py:10-16) ->
+    flax DINOv2 params.
+
+    The v1 checkpoint layout IS the torchhub layout `convert_dinov2`
+    consumes (cls_token/pos_embed, blocks.N.{norm1,attn.qkv,attn.proj,
+    norm2,mlp.fc1,mlp.fc2}, norm) minus the LayerScale gammas, which
+    convert_dinov2 synthesises as ones (a no-op scale).  Alias kept so the
+    SUBC load path is explicit and independently tested
+    (tests/test_hf_parity.py::test_dino_v1_parity_vs_transformers)."""
+    return convert_dinov2(flax_params, tensors, dtype=dtype)
+
+
+def load_dino_v1(flax_params, ckpt_path: str, dtype=None):
+    """dino_vitb16_pretrain.pth (bare state dict) -> flax DINOv2 params for
+    the SUBC encoder (metrics/consistency.make_dino_encoder)."""
+    import torch
+
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    tensors = {k: v.numpy() for k, v in sd.items()}
+    return convert_dino_v1(flax_params, tensors, dtype=dtype)
+
+
 def convert_blip_image_reward(flax_params, tensors, dtype=None):
     """ImageReward-v1.0 state dict -> flax ImageReward params.
 

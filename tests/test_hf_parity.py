@@ -499,3 +499,153 @@ def test_t5_encoder_parity_vs_transformers():
         ).last_hidden_state.numpy()
     # padded positions still produce hidden states in both; compare all
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_open_clip_vision_parity_vs_transformers():
+    """OpenCLIP vision tower (HPSv2.1's ViT-H image side, plain-GELU) vs
+    transformers CLIPVisionModelWithProjection with hidden_act='gelu'.
+
+    Pins both the activation switch (open_clip ViT-H-14 has no quick_gelu
+    flag -> exact GELU, unlike the OpenAI-checkpoint towers) and
+    `weights.convert_open_clip_vision`'s remap of open_clip's `visual.*`
+    layout (fused in_proj, bias-free conv1 stem, raw `proj` matrix)."""
+    from transformers import CLIPVisionConfig as HFCfg
+    from transformers import CLIPVisionModelWithProjection
+
+    from freefine_tpu.models.clip_image import CLIPImageEncoder, CLIPVisionConfig
+
+    hf_cfg = HFCfg(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, image_size=32, patch_size=16,
+        projection_dim=16, hidden_act="gelu",
+    )
+    torch.manual_seed(0)
+    hf = CLIPVisionModelWithProjection(hf_cfg).eval()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+
+    # transformers CLIP naming -> open_clip `visual.` naming (HPS ckpts).
+    pre = "vision_model."
+    tensors = {
+        "visual.class_embedding": sd[f"{pre}embeddings.class_embedding"],
+        "visual.positional_embedding": sd[
+            f"{pre}embeddings.position_embedding.weight"
+        ],
+        "visual.conv1.weight": sd[f"{pre}embeddings.patch_embedding.weight"],
+        "visual.ln_pre.weight": sd[f"{pre}pre_layrnorm.weight"],
+        "visual.ln_pre.bias": sd[f"{pre}pre_layrnorm.bias"],
+        "visual.ln_post.weight": sd[f"{pre}post_layernorm.weight"],
+        "visual.ln_post.bias": sd[f"{pre}post_layernorm.bias"],
+        "visual.proj": sd["visual_projection.weight"].T,
+    }
+    for i in range(hf_cfg.num_hidden_layers):
+        src = f"{pre}encoder.layers.{i}"
+        dst = f"visual.transformer.resblocks.{i}"
+        tensors[f"{dst}.attn.in_proj_weight"] = np.concatenate(
+            [sd[f"{src}.self_attn.{n}_proj.weight"] for n in ("q", "k", "v")], 0
+        )
+        tensors[f"{dst}.attn.in_proj_bias"] = np.concatenate(
+            [sd[f"{src}.self_attn.{n}_proj.bias"] for n in ("q", "k", "v")], 0
+        )
+        tensors[f"{dst}.attn.out_proj.weight"] = sd[f"{src}.self_attn.out_proj.weight"]
+        tensors[f"{dst}.attn.out_proj.bias"] = sd[f"{src}.self_attn.out_proj.bias"]
+        tensors[f"{dst}.ln_1.weight"] = sd[f"{src}.layer_norm1.weight"]
+        tensors[f"{dst}.ln_1.bias"] = sd[f"{src}.layer_norm1.bias"]
+        tensors[f"{dst}.ln_2.weight"] = sd[f"{src}.layer_norm2.weight"]
+        tensors[f"{dst}.ln_2.bias"] = sd[f"{src}.layer_norm2.bias"]
+        tensors[f"{dst}.mlp.c_fc.weight"] = sd[f"{src}.mlp.fc1.weight"]
+        tensors[f"{dst}.mlp.c_fc.bias"] = sd[f"{src}.mlp.fc1.bias"]
+        tensors[f"{dst}.mlp.c_proj.weight"] = sd[f"{src}.mlp.fc2.weight"]
+        tensors[f"{dst}.mlp.c_proj.bias"] = sd[f"{src}.mlp.fc2.bias"]
+
+    cfg = CLIPVisionConfig(
+        image_size=32, patch_size=16, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=2, projection_dim=16, activation="gelu",
+        dtype=jnp.float32,
+    )
+    model = CLIPImageEncoder(cfg)
+    x = np.random.default_rng(4).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    params = model.init(jax.random.key(0), jnp.asarray(x))
+    params = W.convert_open_clip_vision(params, tensors)
+
+    with torch.no_grad():
+        want = hf(torch.tensor(x.transpose(0, 3, 1, 2))).image_embeds.numpy()
+    got = np.asarray(model.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=3e-5)
+
+    # QuickGELU vs GELU must actually differ (guards the activation plumb)
+    cfg_q = CLIPVisionConfig(
+        image_size=32, patch_size=16, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=2, projection_dim=16, dtype=jnp.float32,
+    )
+    got_q = np.asarray(CLIPImageEncoder(cfg_q).apply(params, jnp.asarray(x)))
+    assert np.abs(got_q - want).max() > 1e-4
+
+
+@pytest.mark.slow
+def test_dino_v1_parity_vs_transformers():
+    """SUBC's DINO-v1 ViT-B/16 (VBench/subject_consistency.py:10-16 loads
+    torchhub `dino_vitb16`) hosted by our DINOv2 module, through
+    `weights.convert_dino_v1`, vs transformers ViTModel — the same
+    plain-ViT architecture (no LayerScale; the converter synthesises
+    identity gammas) with eps 1e-6 and exact GELU."""
+    from transformers import ViTConfig as HFCfg
+    from transformers import ViTModel
+
+    from freefine_tpu.models.dinov2 import DINOv2, DINOv2Config
+
+    hf_cfg = HFCfg(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=128, image_size=32, patch_size=16,
+        layer_norm_eps=1e-6, hidden_act="gelu",
+    )
+    torch.manual_seed(0)
+    hf = ViTModel(hf_cfg, add_pooling_layer=False).eval()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+
+    # transformers ViT naming -> the DINO-v1 torchhub layout (the published
+    # dino_vitb16_pretrain.pth key set: no ls1/ls2 gammas anywhere).
+    t = {
+        "cls_token": sd["embeddings.cls_token"],
+        "pos_embed": sd["embeddings.position_embeddings"],
+        "patch_embed.proj.weight": sd[
+            "embeddings.patch_embeddings.projection.weight"
+        ],
+        "patch_embed.proj.bias": sd[
+            "embeddings.patch_embeddings.projection.bias"
+        ],
+        "norm.weight": sd["layernorm.weight"],
+        "norm.bias": sd["layernorm.bias"],
+    }
+    for i in range(2):
+        p = f"encoder.layer.{i}"
+        t[f"blocks.{i}.attn.qkv.weight"] = np.concatenate(
+            [sd[f"{p}.attention.attention.{n}.weight"]
+             for n in ("query", "key", "value")], 0
+        )
+        t[f"blocks.{i}.attn.qkv.bias"] = np.concatenate(
+            [sd[f"{p}.attention.attention.{n}.bias"]
+             for n in ("query", "key", "value")], 0
+        )
+        t[f"blocks.{i}.attn.proj.weight"] = sd[f"{p}.attention.output.dense.weight"]
+        t[f"blocks.{i}.attn.proj.bias"] = sd[f"{p}.attention.output.dense.bias"]
+        t[f"blocks.{i}.norm1.weight"] = sd[f"{p}.layernorm_before.weight"]
+        t[f"blocks.{i}.norm1.bias"] = sd[f"{p}.layernorm_before.bias"]
+        t[f"blocks.{i}.norm2.weight"] = sd[f"{p}.layernorm_after.weight"]
+        t[f"blocks.{i}.norm2.bias"] = sd[f"{p}.layernorm_after.bias"]
+        t[f"blocks.{i}.mlp.fc1.weight"] = sd[f"{p}.intermediate.dense.weight"]
+        t[f"blocks.{i}.mlp.fc1.bias"] = sd[f"{p}.intermediate.dense.bias"]
+        t[f"blocks.{i}.mlp.fc2.weight"] = sd[f"{p}.output.dense.weight"]
+        t[f"blocks.{i}.mlp.fc2.bias"] = sd[f"{p}.output.dense.bias"]
+
+    cfg = DINOv2Config(dim=32, depth=2, heads=2, patch_size=16, pos_embed_size=2)
+    model = DINOv2(cfg)
+    x = np.random.default_rng(6).normal(size=(1, 32, 32, 3)).astype(np.float32)
+    params = model.init(jax.random.key(0), jnp.asarray(x))
+    params = W.convert_dino_v1(params, t)
+
+    with torch.no_grad():
+        out = hf(torch.tensor(x.transpose(0, 3, 1, 2))).last_hidden_state.numpy()
+    patch, cls = model.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(cls), out[:, 0], atol=3e-5)
+    np.testing.assert_allclose(np.asarray(patch), out[:, 1:], atol=3e-5)
