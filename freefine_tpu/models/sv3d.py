@@ -137,7 +137,13 @@ class SV3D:
             return d_u + scales * (d_c - d_u)
 
         rng, sub = jax.random.split(rng)
-        x = jax.random.normal(sub, (t, h, w, 4), jnp.float32) * sigmas[0]
+        # sgm scales the initial randn by sqrt(1 + sigma_0^2), not sigma_0
+        # (BaseDiffusionSampler.prepare_sampling_loop, sampling.py:46) —
+        # ~1e-6 relative at sigma_max=700, but pinned exactly by
+        # tests/test_reference_golden_sv3d_sampler.py.
+        x = jax.random.normal(sub, (t, h, w, 4), jnp.float32) * jnp.sqrt(
+            1.0 + sigmas[0] ** 2
+        )
 
         def step(x, i):
             sigma, next_sigma = sigmas[i], sigmas[i + 1]
