@@ -55,6 +55,22 @@ DEGREES = {
     "level_3": ["heavily", "intensely", "significantly", "strongly"],
 }
 
+# Celeb authoring variant (edit_prompt_set.py:7-17,49-53): each facial
+# category supports a restricted operation set, and the fine facial parts
+# only ever draw level_1 ("slight") degree adverbs.
+CELEB_CATEGORY_OPERATIONS = {
+    "eye": ("move", "enlarge", "shrink"),
+    "eyebrow": ("move", "enlarge", "shrink", "rotate"),
+    "nose": ("move", "enlarge", "shrink", "rotate"),
+    "ear": ("move", "enlarge", "shrink"),
+    "mouth": ("move", "enlarge", "shrink", "rotate"),
+    "hat": ("move", "enlarge", "shrink", "rotate"),
+    "earring": ("enlarge", "shrink", "rotate"),
+    "person": ("enlarge", "shrink", "rotate"),
+}
+SLIGHT_EDIT_LIST = ("eye", "eyebrow", "nose", "ear", "mouth")
+CELEB_DEGREE_LEVELS = ("level_1",)  # celeb_degrees, edit_prompt_set.py:49-53
+
 MOVE_RANGES = {  # fraction of image size per level (re_edit_3d.py:776-787)
     "level_1": (0.05, 0.1),
     "level_2": (0.1, 0.2),
@@ -105,6 +121,66 @@ def generate_instructions(
             direction = dirs[rng.integers(len(dirs))]
             prompt = f"{verb} the {{object}} {direction} {desc}"
             out.append(Instruction(mtype, direction, level, prompt))
+    return out
+
+
+def _sample_degree_for_label(rng: np.random.Generator, label: str) -> str:
+    """slight_edit_list labels draw from celeb_degrees (level_1 only,
+    sample_degree_celeb, edit_prompt_set.py:168-170); others from the full
+    table (sample_degree, :171-173)."""
+    levels = (
+        CELEB_DEGREE_LEVELS if label in SLIGHT_EDIT_LIST
+        else tuple(DEGREES.keys())
+    )
+    level = levels[rng.integers(len(levels))]
+    words = DEGREES[level]
+    return words[rng.integers(len(words))]
+
+
+def generate_instructions_celeb(
+    rng: np.random.Generator, label: str, sample_type: str = "2D"
+) -> List[Instruction]:
+    """Celeb-category instruction distribution (reference
+    generate_instruction_celeb, edit_prompt_set.py:223-270): only the
+    label's allowed operations; ONE instruction per direction with a
+    label-conditioned degree (not the per-level sweep of
+    generate_instructions); 3D keeps the per-level y-rotation sweep."""
+    if label not in CELEB_CATEGORY_OPERATIONS:
+        raise KeyError(f"unknown celeb category {label!r}")
+    out = []
+    for mtype in CELEB_CATEGORY_OPERATIONS[label]:
+        meta = OPERATIONS[mtype]
+        if mtype != "rotate":
+            if sample_type != "2D":
+                continue
+            for direction in meta["directions"]:
+                verb = meta["descriptions"][
+                    rng.integers(len(meta["descriptions"]))
+                ]
+                desc = _sample_degree_for_label(rng, label)
+                prompt = f"{verb} the {{object}} {direction} {desc}"
+                out.append(
+                    Instruction(mtype, direction, find_degree(prompt), prompt)
+                )
+        elif sample_type == "2D":
+            for direction in meta["directions"]["2D"]:
+                verb = meta["descriptions"][
+                    rng.integers(len(meta["descriptions"]))
+                ]
+                desc = _sample_degree_for_label(rng, label)
+                prompt = f"{verb} the {{object}} {direction} {desc}"
+                out.append(
+                    Instruction(mtype, direction, find_degree(prompt), prompt)
+                )
+        else:  # 3D: y-rotation sweeps all three levels regardless of label
+            for direction in meta["directions"]["3D_y"]:
+                for level, words in DEGREES.items():
+                    verb = meta["descriptions"][
+                        rng.integers(len(meta["descriptions"]))
+                    ]
+                    desc = words[rng.integers(len(words))]
+                    prompt = f"{verb} the {{object}} {direction} {desc}"
+                    out.append(Instruction(mtype, direction, level, prompt))
     return out
 
 

@@ -241,3 +241,48 @@ def test_authoring_driver_3d_stub(tmp_path):
     edits = pack["da0"]["instances"]["0"]
     assert len(edits) == len(calls)
     assert all(e["edit_param"][4] != 0 for e in edits.values())  # y-rotation
+
+
+def test_generate_instructions_celeb_golden_vs_reference():
+    """Celeb instruction distribution vs the reference's OWN
+    generate_instruction_celeb (edit_prompt_set.py:223-270): identical
+    ordered (type, direction) structure per label, and the slight-edit
+    degree constraint (facial parts sample only level_1 adverbs)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_eps",
+        "/root/reference/generative-models/scripts/sampling/edit_prompt_set.py",
+    )
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    rng = np.random.default_rng(0)
+    for label in D.CELEB_CATEGORY_OPERATIONS:
+        for sample_type in ("2D", "3D"):
+            want = ref.generate_instruction_celeb(
+                sample_type=sample_type, seed=0, label=label
+            )
+            got = D.generate_instructions_celeb(rng, label, sample_type)
+            assert [(i.type, i.direction) for i in got] == [
+                (i["type"], i["direction"]) for i in want
+            ], (label, sample_type)
+            # degree levels must obey the same per-label constraint
+            for ours, theirs in zip(got, want):
+                if label in D.SLIGHT_EDIT_LIST and ours.type != "rotate":
+                    assert ours.degree == "level_1"
+                if sample_type == "3D":
+                    assert theirs["degree"] in ("level_1", "level_2", "level_3")
+
+    # reference slight-edit labels only ever emit level_1 adverbs in 2D;
+    # check ours across many draws
+    for _ in range(20):
+        for label in D.SLIGHT_EDIT_LIST:
+            for ins in D.generate_instructions_celeb(rng, label, "2D"):
+                assert ins.degree == "level_1"
+
+
+def test_generate_instructions_celeb_unknown_label():
+    rng = np.random.default_rng(1)
+    with pytest.raises(KeyError):
+        D.generate_instructions_celeb(rng, "spaceship")
