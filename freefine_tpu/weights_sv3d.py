@@ -240,3 +240,21 @@ def convert_sv3d_unet(flax_params, sd: Dict[str, np.ndarray], dtype=None,
         else:
             raise KeyError(f"unexpected VideoUNet module {name}")
     return {"params": out}
+
+
+def convert_sv3d_clip_image(flax_params, sd: Dict, dtype=None):
+    """SV3D checkpoint conditioner -> flax CLIPImageEncoder(clip_vit_h14).
+
+    sv3d_p.safetensors embeds the FrozenOpenCLIPImagePredictionEmbedder's
+    open_clip ViT-H visual tower (sv3d_p.yaml conditioner_config;
+    sgm/modules/encoders/modules.py:574-622 — exact-GELU, like HPS) under
+    `conditioner.embedders.0.open_clip.model.visual.*`; this is the same
+    open_clip layout `weights.convert_open_clip_vision` consumes, re-prefixed.
+    """
+    from freefine_tpu.weights import convert_open_clip_vision
+
+    return convert_open_clip_vision(
+        flax_params, sd,
+        prefix="conditioner.embedders.0.open_clip.model.visual.",
+        dtype=dtype,
+    )

@@ -158,3 +158,69 @@ def test_sv3d_converter_roundtrip():
         np.testing.assert_array_equal(
             np.asarray(a, np.float32), np.asarray(b, np.float32)
         )
+
+
+def test_convert_sv3d_clip_image_prefix(rng_np):
+    """convert_sv3d_clip_image consumes the conditioner-prefixed open_clip
+    visual layout (the math/naming itself is torch-parity-tested in
+    test_hf_parity.py::test_open_clip_vision_parity_vs_transformers)."""
+    import jax
+    import jax.numpy as jnp
+
+    from freefine_tpu.models.clip_image import CLIPImageEncoder, CLIPVisionConfig
+    from freefine_tpu.weights_sv3d import convert_sv3d_clip_image
+
+    cfg = CLIPVisionConfig(
+        image_size=32, patch_size=16, hidden_size=16, intermediate_size=32,
+        num_layers=1, num_heads=2, projection_dim=8, activation="gelu",
+        dtype=jnp.float32,
+    )
+    model = CLIPImageEncoder(cfg)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+
+    pre = "conditioner.embedders.0.open_clip.model.visual."
+    sd = {
+        f"{pre}class_embedding": rng_np.standard_normal((16)).astype(np.float32),
+        f"{pre}positional_embedding": rng_np.standard_normal((5, 16)).astype(np.float32),
+        f"{pre}conv1.weight": rng_np.standard_normal((16, 3, 16, 16)).astype(np.float32),
+        f"{pre}ln_pre.weight": rng_np.standard_normal((16)).astype(np.float32),
+        f"{pre}ln_pre.bias": rng_np.standard_normal((16)).astype(np.float32),
+        f"{pre}ln_post.weight": rng_np.standard_normal((16)).astype(np.float32),
+        f"{pre}ln_post.bias": rng_np.standard_normal((16)).astype(np.float32),
+        f"{pre}proj": rng_np.standard_normal((16, 8)).astype(np.float32),
+        f"{pre}transformer.resblocks.0.attn.in_proj_weight":
+            rng_np.standard_normal((48, 16)).astype(np.float32),
+        f"{pre}transformer.resblocks.0.attn.in_proj_bias":
+            rng_np.standard_normal((48)).astype(np.float32),
+        f"{pre}transformer.resblocks.0.attn.out_proj.weight":
+            rng_np.standard_normal((16, 16)).astype(np.float32),
+        f"{pre}transformer.resblocks.0.attn.out_proj.bias":
+            rng_np.standard_normal((16)).astype(np.float32),
+        f"{pre}transformer.resblocks.0.ln_1.weight":
+            rng_np.standard_normal((16)).astype(np.float32),
+        f"{pre}transformer.resblocks.0.ln_1.bias":
+            rng_np.standard_normal((16)).astype(np.float32),
+        f"{pre}transformer.resblocks.0.ln_2.weight":
+            rng_np.standard_normal((16)).astype(np.float32),
+        f"{pre}transformer.resblocks.0.ln_2.bias":
+            rng_np.standard_normal((16)).astype(np.float32),
+        f"{pre}transformer.resblocks.0.mlp.c_fc.weight":
+            rng_np.standard_normal((32, 16)).astype(np.float32),
+        f"{pre}transformer.resblocks.0.mlp.c_fc.bias":
+            rng_np.standard_normal((32)).astype(np.float32),
+        f"{pre}transformer.resblocks.0.mlp.c_proj.weight":
+            rng_np.standard_normal((16, 32)).astype(np.float32),
+        f"{pre}transformer.resblocks.0.mlp.c_proj.bias":
+            rng_np.standard_normal((16)).astype(np.float32),
+    }
+    out = convert_sv3d_clip_image(params, sd)
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["visual_projection"]), sd[f"{pre}proj"]
+    )
+    # fused in_proj row-split: q rows -> q_proj kernel (transposed)
+    np.testing.assert_array_equal(
+        np.asarray(
+            out["params"]["layers_0"]["self_attn"]["q_proj"]["kernel"]
+        ),
+        sd[f"{pre}transformer.resblocks.0.attn.in_proj_weight"][:16].T,
+    )
