@@ -94,7 +94,7 @@ def main():
     ap.add_argument("--tiny", action="store_true", help="tiny config smoke run")
     ap.add_argument("--batch", type=int, default=None,
                     help="cases per device step (BatchedFreeFine). "
-                         "Default: 8 on the flagship SD-1.5 @512^2 lane "
+                         "Default: 16 on the flagship SD-1.5 @512^2 lane "
                          "(the measured-best serving shape), 1 elsewhere.")
     ap.add_argument("--profile", action="store_true",
                     help="per-stage timing via StageTimer (batched path; "
@@ -109,8 +109,8 @@ def main():
                          "(~10 edits per source; exactness vs the "
                          "per-case lane pinned in tests/test_shared_ref). "
                          "Default: ON for the flagship batched lane "
-                         "(chip-measured 73.0 edits/min at batch 8 vs "
-                         "48.2 per-case — BATCH_SCALING.md); "
+                         "(chip-measured 76.9 edits/min at batch 16 vs "
+                         "48.2 per-case at batch 8 — BATCH_SCALING.md); "
                          "--no-shared restores per-case batching. "
                          "Requires --batch > 1 to pay off.")
     ap.add_argument("--sdxl", action="store_true",
@@ -150,7 +150,7 @@ def main():
                     or args.profile)
     batch_defaulted = args.batch is None
     if batch_defaulted:
-        args.batch = 8 if (flagship and args.shared is not False) else 1
+        args.batch = 16 if (flagship and args.shared is not False) else 1
     if args.shared is None:
         # An explicit --batch N means the documented per-case lane; only
         # the all-default flagship invocation (and explicit --shared)
@@ -170,10 +170,9 @@ def main():
     # random weights directly in the serving dtype (see
     # _random_params_fast for why model.init cannot be used here).
     if args.sdxl:
-        assert args.batch == 1 and not args.profile, (
-            "--sdxl benches the single-case path (BatchedFreeFine "
-            "stacks plain text arrays, not SDXL's (context, added_cond) "
-            "tuples)"
+        assert not args.shared, (
+            "--sdxl batches per-case (tuple conditioning; the shared-source "
+            "lane is SD/DiT-only)"
         )
         from freefine_tpu.config import (
             sdxl_pipeline_config, tiny_sdxl_pipeline_config,

@@ -1128,6 +1128,12 @@ class FreeFine:
         embs = self.encode_text(["", guidance_text])
         return jnp.stack([embs[0], embs[0], embs[1]])
 
+    def _batch_text_embeddings(self, texts: Sequence[str]):
+        """Per-case conditioning rows for the batched lanes.  Hook point:
+        the SDXL pipeline returns a (context [B, 77, 2048],
+        added_cond [B, A]) tuple; consumers stack leaf-wise."""
+        return self.encode_text(texts)
+
 
 # ---------------------------------------------------------------------------
 # Batched multi-case editing
@@ -1292,9 +1298,16 @@ class BatchedFreeFine:
         return self.pipe.image_to_latent(images)
 
     def _uncond_and_conds(self, texts):
-        """ONE text-encode for [uncond] + per-case prompts."""
-        embs = self.pipe.encode_text([""] + list(texts))
-        return embs[0], embs[1:]
+        """ONE text-encode for [uncond] + per-case prompts.
+
+        Returns (uncond, conds) PYTREES: plain [77, D]/[B, 77, D] arrays for
+        the SD/DiT pipelines, (context, added_cond) tuples for SDXL (via the
+        `_batch_text_embeddings` hook) — every consumer stacks with
+        tree_map, so the batched lanes work for any conditioning layout."""
+        embs = self.pipe._batch_text_embeddings([""] + list(texts))
+        uncond = jax.tree_util.tree_map(lambda a: a[0], embs)
+        conds = jax.tree_util.tree_map(lambda a: a[1:], embs)
+        return uncond, conds
 
     def _edit_mask_states(self, cases, use_auto_draw, reduce_inp_artifacts):
         """ONE vmapped mask-prep call for an edit-case batch: per-case
@@ -1376,9 +1389,16 @@ class BatchedFreeFine:
             uncond, conds = self._uncond_and_conds(
                 [c["guidance_text"] for c in cases]
             )
-            u = jnp.broadcast_to(uncond[None], (n,) + uncond.shape)
-            text2 = jnp.stack([u, u], axis=1)               # [n, 2, 77, D]
-            text3 = jnp.stack([u, u, conds], axis=1)        # [n, 3, 77, D]
+            tmap = jax.tree_util.tree_map
+            u = tmap(
+                lambda a: jnp.broadcast_to(a[None], (n,) + a.shape), uncond
+            )
+            # [n, 2, 77, D] inversion rows / [n, 3, ...] deduped CFG rows
+            # (leaf-wise, so SDXL's (context, added_cond) tuples batch too)
+            text2 = tmap(lambda a: jnp.stack([a, a], axis=1), u)
+            text3 = tmap(
+                lambda ua, ca: jnp.stack([ua, ua, ca], axis=1), u, conds
+            )
         with tm.stage("mask_prep"):
             states, cfg_masks, var_masks = self._edit_mask_states(
                 cases, use_auto_draw, reduce_inp_artifacts
@@ -1487,6 +1507,12 @@ class BatchedFreeFine:
             uncond, conds = self._uncond_and_conds(
                 [c["guidance_text"] for c in cases]
             )
+            if not isinstance(uncond, jnp.ndarray):
+                raise NotImplementedError(
+                    "generation_shared_source supports array conditioning "
+                    "(SD/DiT); SDXL's tuple conditioning batches through "
+                    "BatchedFreeFine.generation"
+                )
             u = jnp.broadcast_to(uncond[None], (n,) + uncond.shape)
             text_pair = jnp.stack([u, conds], axis=1)   # [n, 2, 77, D]
         with tm.stage("mask_prep"):

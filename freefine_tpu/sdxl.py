@@ -150,3 +150,10 @@ class SDXLFreeFine(FreeFine):
     def _extra_text_embeddings(self, texts: Sequence[str]):
         # region-prompt K/V only (no added conditioning on the extra context)
         return self._encode_dual(texts)[0]
+
+    def _batch_text_embeddings(self, texts: Sequence[str]):
+        """Batched-lane conditioning: (context, added_cond) per case —
+        BatchedFreeFine stacks tree-leaf-wise, so SDXL cases batch like SD
+        ones (the dual-tower added conditioning rides as a second leaf)."""
+        ctx, pooled = self._encode_dual(list(texts))
+        return ctx, self._added_cond(pooled)

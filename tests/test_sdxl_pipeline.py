@@ -81,3 +81,40 @@ def test_sdxl_composition_e2e(sdxl_pipe):
         num_step=5, start_step=2, end_step=1, appearance_transfer=True,
     )
     assert out.shape == (h, w, 3) and out.dtype == np.uint8
+
+
+@pytest.mark.slow
+def test_sdxl_batched_generation_matches_per_case(sdxl_pipe):
+    """BatchedFreeFine.generation on the SDXL pipeline: the dual-tower
+    (context, added_cond) tuple conditioning batches leaf-wise through
+    `_batch_text_embeddings`, and each case's output equals the single-case
+    entry point (same per-case RNG derivation)."""
+    from freefine_tpu.pipeline import BatchedFreeFine, _case_rngs  # noqa: F401
+
+    h = w = sdxl_pipe.config.height
+    r = np.random.default_rng(1)
+    cases = []
+    for i in range(2):
+        m = np.zeros((h, w), np.uint8); m[4 + i*4:20 + i*4, 4:20] = 255
+        tm = np.zeros((h, w), np.uint8); tm[12:28, 8 + i*4:24 + i*4] = 255
+        cases.append(dict(
+            ori_img=r.integers(0, 255, (h, w, 3), dtype=np.uint8),
+            ori_mask=m,
+            coarse_input=r.integers(0, 255, (h, w, 3), dtype=np.uint8),
+            target_mask=tm,
+            guidance_text=f"object {i}",
+        ))
+    kw = dict(num_step=6, start_step=3, end_step=1, use_auto_draw=True,
+              reduce_inp_artifacts=True)
+    outs = BatchedFreeFine(sdxl_pipe).generation(cases, seed=[5, 7], **kw)
+    assert len(outs) == 2
+    for i, c in enumerate(cases):
+        want = sdxl_pipe.generation(
+            c["ori_img"], c["ori_mask"], c["coarse_input"], c["target_mask"],
+            c["guidance_text"], seed=[5, 7][i],
+            cons_area=np.zeros((h, w), np.uint8), **kw,
+        )
+        # vmapped vs single-program XLA fusion rounds a handful of pixels
+        # across the uint8 boundary (measured 12/12288 off by 1)
+        diff = np.abs(outs[i].astype(np.int32) - want.astype(np.int32))
+        assert diff.max() <= 1 and (diff > 0).mean() < 0.01
