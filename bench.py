@@ -170,10 +170,6 @@ def main():
     # random weights directly in the serving dtype (see
     # _random_params_fast for why model.init cannot be used here).
     if args.sdxl:
-        assert not args.shared, (
-            "--sdxl batches per-case (tuple conditioning; the shared-source "
-            "lane is SD/DiT-only)"
-        )
         from freefine_tpu.config import (
             sdxl_pipeline_config, tiny_sdxl_pipeline_config,
         )

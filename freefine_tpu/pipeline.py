@@ -1203,17 +1203,22 @@ def edit_shared_fn(
     def fn(params, lat_coarse, lat_ref, text_u, text_pair, states, cg,
            gates, cfg_masks, var_masks, rngs):
         b = lat_coarse.shape[0]
-        text_b = jnp.broadcast_to(text_u[None], (b,) + text_u.shape)
+        tmap = jax.tree_util.tree_map
+        # leaf-wise so SDXL's (context, added_cond) conditioning works too
+        text_b = tmap(
+            lambda a: jnp.broadcast_to(a[None], (b,) + a.shape), text_u
+        )
+        text_u1 = tmap(lambda a: a[None], text_u)
         traj_c = ddim_invert_loop(
             unet_plain, params, schedule, lat_coarse, text_b, num_actual
         )
         traj_r = ddim_invert_loop(
-            unet_plain, params, schedule, lat_ref[None], text_u[None],
+            unet_plain, params, schedule, lat_ref[None], text_u1,
             num_actual,
         )
         return sample_edit_loop_shared(
             unet_edit, unet_capture, params, schedule, ecfg,
-            traj_r[:, 0], traj_c[-1], text_pair, text_u[None], states,
+            traj_r[:, 0], traj_c[-1], text_pair, text_u1, states,
             cg, gates, cfg_masks, var_masks, rngs,
             start_step=start_step, guidance_scale=guidance_scale, eta=eta,
             local_text_edit=local_text_edit,
@@ -1507,14 +1512,15 @@ class BatchedFreeFine:
             uncond, conds = self._uncond_and_conds(
                 [c["guidance_text"] for c in cases]
             )
-            if not isinstance(uncond, jnp.ndarray):
-                raise NotImplementedError(
-                    "generation_shared_source supports array conditioning "
-                    "(SD/DiT); SDXL's tuple conditioning batches through "
-                    "BatchedFreeFine.generation"
-                )
-            u = jnp.broadcast_to(uncond[None], (n,) + uncond.shape)
-            text_pair = jnp.stack([u, conds], axis=1)   # [n, 2, 77, D]
+            tmap = jax.tree_util.tree_map
+            u = tmap(
+                lambda a: jnp.broadcast_to(a[None], (n,) + a.shape), uncond
+            )
+            # [n, 2, ...] per-case [uncond, cond] rows, leaf-wise (SDXL's
+            # (context, added_cond) tuples included)
+            text_pair = tmap(
+                lambda ua, ca: jnp.stack([ua, ca], axis=1), u, conds
+            )
         with tm.stage("mask_prep"):
             states, cfg_masks, var_masks = self._edit_mask_states(
                 cases, use_auto_draw, reduce_inp_artifacts

@@ -150,3 +150,40 @@ def test_generation_shared_source_matches_generation():
     bad = [mk_case(1), dict(mk_case(2), ori_img=255 - ori)]
     with pytest.raises(AssertionError):
         batched.generation_shared_source(bad, **kw)
+
+
+@pytest.mark.slow
+def test_sdxl_generation_shared_source():
+    """The shared-source lane on the SDXL pipeline: tuple conditioning
+    broadcasts/stacks leaf-wise, the dual-tower capture pass sows ref K/V,
+    and outputs stay close to the per-case batched lane (ref_vanilla
+    deviation only on the reference stream's modulated heads)."""
+    from freefine_tpu.config import tiny_sdxl_pipeline_config
+    from freefine_tpu.pipeline import BatchedFreeFine
+    from freefine_tpu.sdxl import SDXLFreeFine
+
+    pipe = SDXLFreeFine(config=tiny_sdxl_pipeline_config(), init_random=True)
+    batched = BatchedFreeFine(pipe)
+    h = w = pipe.config.height
+    r = np.random.default_rng(0)
+    ori = r.integers(0, 255, (h, w, 3), dtype=np.uint8)
+
+    def mk_case(seed):
+        rr = np.random.default_rng(seed)
+        coarse = rr.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        m = np.zeros((h, w), np.uint8); m[8:24, 8:24] = 255
+        tm = np.zeros((h, w), np.uint8); tm[16:32, 16:32] = 255
+        return dict(ori_img=ori, ori_mask=m, coarse_input=coarse,
+                    target_mask=tm, guidance_text="a cat")
+
+    cases = [mk_case(1), mk_case(2)]
+    kw = dict(num_step=5, start_step=2, end_step=1, seed=9)
+    want = batched.generation(cases, **kw)
+    got = batched.generation_shared_source(cases, **kw)
+    assert len(got) == 2
+    for b in range(2):
+        assert got[b].shape == (h, w, 3) and got[b].dtype == np.uint8
+        diff = np.abs(got[b].astype(np.int32) - want[b].astype(np.int32))
+        assert diff.mean() < 2.0 and diff.max() <= 30, (
+            b, diff.mean(), diff.max()
+        )
