@@ -74,6 +74,33 @@ class UNetConfig:
                 n += self.layers_per_block + 1
         return n
 
+    @property
+    def attn_layer_layout(self) -> Tuple[int, int]:
+        """(total, up_start) in depth-weighted attention-layer indices —
+        the numbering `UNet2DCondition` assigns via ``block_index`` (each
+        SpatialTransformer advances the counter by its transformer depth).
+
+        For SD-1.5 (depth 1 everywhere) this equals the module count: 16
+        total, decoder at 7..15 — the reference's `cur_att_layer // 2`
+        indexing (src/utils/attention.py:1051).  Deep-transformer backbones
+        (SDXL: depths (1, 2, 10) -> 70 layers, decoder at 34..69) need the
+        TCA layer range rescaled to THIS layout; `FreeFine._edit_config`
+        maps the reference's 10-of-16 start to the same decoder fraction.
+        """
+        nb = len(self.block_out_channels)
+        down = sum(
+            self.transformer_depth[i] * self.layers_per_block
+            for i in range(nb)
+            if self.down_block_has_attn[i]
+        )
+        mid = self.transformer_depth[nb - 1]
+        up = sum(
+            self.transformer_depth[nb - 1 - i] * (self.layers_per_block + 1)
+            for i in range(nb)
+            if self.up_block_has_attn[i]
+        )
+        return down + mid + up, down + mid
+
 
 @dataclasses.dataclass(frozen=True)
 class VAEConfig:

@@ -521,12 +521,20 @@ class FreeFine:
         # 10..15 = reference start_layer=10, attention.py:656-658).  A DiT
         # has `depth` uniform blocks, so gate the same *fraction* of late
         # layers instead of the literal indices.
+        lo, hi = DEFAULT_LAYER_RANGE
         if isinstance(self.config.unet, DiTConfig):
             d = self.config.unet.depth
-            lo, hi = DEFAULT_LAYER_RANGE
             self._layer_range = (round(lo / hi * d), d)
         else:
-            self._layer_range = DEFAULT_LAYER_RANGE
+            # Depth-weighted layer indices (UNetConfig.attn_layer_layout):
+            # the reference's start-10-of-16 becomes the same decoder
+            # fraction of the backbone's real layout.  SD-1.5 resolves to
+            # the literal (10, 16); SDXL (70 depth-weighted layers, decoder
+            # at 34..69) to (44, 70) — with the former fixed (10, 16) range
+            # no SDXL decoder layer was ever gated, i.e. TCA was inert on
+            # the SDXL backbone.
+            total, _up_start = self.config.unet.attn_layer_layout
+            self._layer_range = (round(lo / hi * total), total)
 
     def _edit_config(self, **kw) -> EditConfig:
         """EditConfig with the backbone-appropriate default layer_range."""

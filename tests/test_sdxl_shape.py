@@ -103,3 +103,44 @@ def test_sdxl_topology_tiny_forward():
         added_cond=added + 1.0,
     )
     assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_tca_layer_range_covers_decoder_every_backbone():
+    """The TCA gate must select decoder layers on EVERY backbone.  Layer
+    indices are depth-weighted (each SpatialTransformer advances
+    block_index by its transformer depth), so SDXL has 70 — the fixed SD
+    range (10, 16) selected nothing there (TCA silently inert); the range
+    now rescales to the reference's decoder fraction
+    (UNetConfig.attn_layer_layout)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from freefine_tpu.config import (
+        sd15_pipeline_config,
+        sd21_pipeline_config,
+        sdxl_pipeline_config,
+        tiny_pipeline_config,
+        tiny_sdxl_pipeline_config,
+    )
+    from freefine_tpu.pipeline import FreeFine
+    from freefine_tpu.sdxl import SDXLFreeFine
+
+    # layouts: (total, up_start) in depth-weighted indices
+    assert sd15_pipeline_config().unet.attn_layer_layout == (16, 7)
+    assert sd21_pipeline_config().unet.attn_layer_layout == (16, 7)
+    assert sdxl_pipeline_config().unet.attn_layer_layout == (70, 34)
+
+    for cfg, cls, want in [
+        (tiny_pipeline_config(), FreeFine, (10, 16)),
+        (tiny_sdxl_pipeline_config(), SDXLFreeFine, (14, 22)),
+    ]:
+        pipe = cls(config=cfg, params={})
+        assert pipe._layer_range == want
+        total, up_start = cfg.unet.attn_layer_layout
+        lo, hi = pipe._layer_range
+        assert up_start <= lo < hi == total  # gate inside the decoder
+
+    # the full SDXL pipeline must derive (44, 70) — the reference's
+    # 10-of-16 decoder fraction on the 70-layer layout
+    pipe = SDXLFreeFine(config=sdxl_pipeline_config(), params={})
+    assert pipe._layer_range == (44, 70)
