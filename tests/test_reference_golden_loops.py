@@ -826,3 +826,117 @@ def test_full_entry_composition_golden(refmod, schedule, appearance):
     np.testing.assert_array_less(
         np.abs(want.astype(np.int32) - got_img.astype(np.int32)).max(), 2
     )
+
+
+@pytest.mark.parametrize("local_text,local_pert", [(False, True), (True, False)])
+def test_forward_sampling_bggen_global_branches_golden(
+    refmod, schedule, local_text, local_pert
+):
+    """The non-default CFG/perturbation branches: global text guidance
+    (local_text_edit=False, model.py:781-782) and full-mask ctrl_step
+    (local_perturbation=False, :789-790).  (forward_sampling proper cannot
+    reach local_edit_text=False — its caller passes the value under the
+    swallowed `blending` kwarg, model.py:1692 — so the edit task is pinned
+    on its real, always-local path only.)"""
+    start, end, end_scale, eta, method = 3, 6, 0.5, 1.0, "tca"
+    k = NUM - start
+    pipe = make_pipe(refmod, schedule)
+    traj = rand_traj(71, k, 1)
+    var_mask = rand_mask2d(9)
+
+    noises = noise_chain(7100 + int(local_text), k, (2, LH, LW, 4))
+    queue_noises(noises)
+
+    refer = [torch.from_numpy(nchw(x)) for x in traj[::-1]]
+    _, want_list = pipe.forward_sampling_background_gen(
+        prompt=["empty", ""], refer_latents=refer, batch_size=2,
+        end_step=end, num_inference_steps=NUM,
+        num_actual_inference_steps=k, guidance_scale=3.5,
+        latents=torch.from_numpy(nchw(traj[-1])).clone(), eta=eta,
+        end_scale=end_scale, local_var_reg=torch.from_numpy(var_mask),
+        local_cfg_reg=torch.from_numpy(var_mask), share_attn=True,
+        method_type=method, verbose=True, local_text_edit=local_text,
+        local_perturbation=local_pert, return_intermediates=True,
+    )
+    assert not _NOISE_Q
+
+    mname, cg, gates = _method_and_gates(method, start, end, NUM, end_scale)
+    ecfg = EditConfig(mode="bggen", method=mname, num_streams=4)
+    emb4 = jnp.asarray(
+        np.stack([emb_of(""), emb_of(""), emb_of("empty"), emb_of("")])
+    )
+    got, inter = sample_bggen_loop(
+        make_jax_unet(mname), None, schedule, ecfg,
+        jnp.asarray(traj), emb4, EditState(),
+        jnp.asarray(cg), jnp.asarray(gates),
+        jnp.asarray(var_mask), jnp.asarray(var_mask),
+        jax.random.key(7100 + int(local_text)),
+        start_step=start, guidance_scale=3.5, eta=eta,
+        local_text_edit=local_text, local_perturbation=local_pert,
+        return_intermediates=True,
+    )
+    for j in range(k):
+        np.testing.assert_allclose(
+            np.asarray(inter[j]), nhwc(want_list[j + 1].numpy()[None])[0],
+            atol=1e-5, err_msg=f"bggen step {j}",
+        )
+    np.testing.assert_allclose(
+        np.asarray(got), nhwc(want_list[-1].numpy()[None]), atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("local_text,local_pert", [(False, True), (True, False)])
+def test_forward_sampling_compose_global_branches_golden(
+    refmod, schedule, local_text, local_pert
+):
+    """Compose's non-default branches: global text guidance
+    (local_edit_text=False, model.py:420-421) and full-mask ctrl_step
+    (local_perturbation=False, :427-428)."""
+    start, end, end_scale, eta, method, n = 3, 6, 0.5, 1.0, "tca", 2
+    k = NUM - start
+    pipe = make_pipe(refmod, schedule)
+    traj = rand_traj(72, k, n + 1)
+    cfg_mask = rand_mask2d(10)
+    var_mask = rand_mask2d(11)
+
+    noises = noise_chain(7200 + int(local_text), k, (1, LH, LW, 4))
+    queue_noises(noises)
+
+    refer = [torch.from_numpy(nchw(x)) for x in traj[::-1]]
+    _, want_list = pipe.forward_sampling_compose(
+        prompt=["a", "b"], refer_latents=refer, batch_size=n + 1,
+        end_step=end, num_inference_steps=NUM,
+        num_actual_inference_steps=k, guidance_scale=GS,
+        latents=torch.from_numpy(nchw(traj[-1])).clone(), eta=eta,
+        end_scale=end_scale, local_var_reg=torch.from_numpy(var_mask),
+        cfg_masks_tensor=torch.from_numpy(cfg_mask), share_attn=True,
+        method_type=method, verbose=True, local_edit_text=local_text,
+        local_perturbation=local_pert, return_intermediates=True,
+    )
+    assert not _NOISE_Q
+
+    mname, cg, gates = _method_and_gates(method, start, end, NUM, end_scale)
+    ecfg = EditConfig(
+        mode="compose", method=mname, num_sources=n, num_streams=n + 2,
+        prompt_length=3,
+    )
+    ctx = jnp.zeros((n + 2, 77, EMB_D), jnp.float32)
+    extra = jnp.zeros((2, 77, EMB_D), jnp.float32)
+    got, inter = sample_compose_loop(
+        make_jax_unet(mname, use_emb=False), None, schedule, ecfg,
+        jnp.asarray(traj), ctx, extra, EditState(),
+        jnp.asarray(cg), jnp.asarray(gates),
+        jnp.asarray(cfg_mask), jnp.asarray(var_mask),
+        jax.random.key(7200 + int(local_text)),
+        start_step=start, guidance_scale=GS, eta=eta,
+        local_text_edit=local_text, local_perturbation=local_pert,
+        return_intermediates=True,
+    )
+    for j in range(k):
+        np.testing.assert_allclose(
+            np.asarray(inter[j]), nhwc(want_list[j + 1].numpy()[None])[0],
+            atol=1e-5, err_msg=f"compose step {j}",
+        )
+    np.testing.assert_allclose(
+        np.asarray(got), nhwc(want_list[-1].numpy()[None]), atol=1e-5
+    )
