@@ -940,3 +940,22 @@ def test_forward_sampling_compose_global_branches_golden(
     np.testing.assert_allclose(
         np.asarray(got), nhwc(want_list[-1].numpy()[None]), atol=1e-5
     )
+
+
+@pytest.mark.parametrize("rate", [0.5, 0.25])
+def test_prepare_surrounding_mask_golden(refmod, schedule, rate):
+    """reference prepare_surrounding_mask (model.py:1392-1426; defined but
+    never called — kept for API completeness) vs masks.prepare_surrounding_mask
+    on identical inputs."""
+    pipe = make_pipe(refmod, schedule)
+    rng = np.random.RandomState(3)
+    m = np.zeros((40, 36), np.float32)
+    m[10:22, 8:20] = 1.0
+    cons = (rng.rand(40, 36) > 0.7).astype(np.float32)
+    want = pipe.prepare_surrounding_mask(
+        torch.from_numpy(m.copy()), torch.from_numpy(cons), rate=rate
+    ).numpy()
+    got = np.asarray(M.prepare_surrounding_mask(
+        jnp.asarray(m), jnp.asarray(cons), rate=rate
+    ))
+    np.testing.assert_allclose(got, want, atol=1e-6)
