@@ -444,7 +444,7 @@ def edit_self_attention(
     if cfg.mode == "edit":
         return _tca_edit(q, k, v, heads, cfg, state, block_index)
     if cfg.mode == "bggen":
-        return _tca_bggen(q, k, v, heads, cfg, state)
+        return _tca_bggen(q, k, v, heads, cfg, state, block_index)
     if cfg.mode == "compose":
         return _tca_compose(q, k, v, heads, cfg, state)
     raise ValueError(cfg.mode)
@@ -541,23 +541,39 @@ def _tca_edit(q, k, v, heads, cfg, state, block_index=None):
     )
 
 
-def _tca_bggen(q, k, v, heads, cfg, state):
+def _tca_bggen(q, k, v, heads, cfg, state, block_index=None):
     """Background-generation TCA (attention.py:1284-1324).
 
     Even heads: BG-masked reference attention (the removed object's keys
     are excluded so the hole is filled from background context); odd heads:
     unmasked reference-key attention (head-parity mask consumption, see
     `_parity_rows`); blended with vanilla self-attention.
+
+    Shared-reference layout (cfg.shared_ref): streams are [u_g, c_g] and
+    the reference K/V come from state.ref_kv[block_index] — captured once
+    per step from the shared source inversion latent and broadcast over a
+    same-source removal batch (pipeline.sample_bggen_loop_shared).
     """
     _check_parity_heads(heads)
     b, seq, _ = q.shape
     obj = state.fg_retain[seq]  # object / inpainting-region mask
 
-    kc = _ref_stream_gather(k)
-    vc = _ref_stream_gather(v)
+    if cfg.shared_ref:
+        assert state.ref_kv is not None and block_index in state.ref_kv, (
+            "shared_ref layout needs EditState.ref_kv captured at every "
+            f"TCA-gated layer (missing block {block_index})"
+        )
+        rk, rv = state.ref_kv[block_index]
+        kc = jnp.broadcast_to(rk[None].astype(k.dtype), k.shape)
+        vc = jnp.broadcast_to(rv[None].astype(v.dtype), v.shape)
+        edit_only = False               # both streams are generated streams
+    else:
+        kc = _ref_stream_gather(k)
+        vc = _ref_stream_gather(v)
+        edit_only = cfg.ref_vanilla
     qp, kp, vp = (_split_parity(x, heads) for x in (q, k, v))
     kcp, vcp = _split_parity(kc, heads), _split_parity(vc, heads)
-    rows_bg = _parity_rows(1.0 - obj, b, cfg.ref_vanilla)
+    rows_bg = _parity_rows(1.0 - obj, b, edit_only)
     ones_tq = jnp.ones((2 * b, seq), jnp.float32)
 
     # Fused route: with fg-keys = 1-obj and tq = 1, the kernel's modulated

@@ -163,6 +163,7 @@ def run_geobench_bggen(
     dilation: int = 30,
     seed: int = 42,
     batch_size: int = 1,
+    shared_source: bool = False,
     max_cases: Optional[int] = None,
     progress: Callable[[str], None] = print,
 ) -> Optional[Dict]:
@@ -175,7 +176,10 @@ def run_geobench_bggen(
     35), optionally Gaussian-blend the result over the original.  Resume is
     by inp_img.png existence; with batch_size > 1, instances run through
     `BatchedFreeFine.background_generation` (beyond the reference's hard
-    batch-1 limit).
+    batch-1 limit).  With `shared_source` additionally group instances by
+    da_n (GeoBench instances of one da_n are objects in the SAME image) and
+    run each group through `background_generation_shared_source` — one
+    source inversion + one reference pass per step for the whole group.
     """
     from freefine_tpu import native
 
@@ -227,15 +231,29 @@ def run_geobench_bggen(
         from freefine_tpu.pipeline import BatchedFreeFine
 
         batched = BatchedFreeFine(pipe)
-        raw_groups = [my[b0: b0 + batch_size]
-                      for b0 in range(0, len(my), batch_size)]
+        if shared_source:
+            # Instances of one da_n share the source image; bucket by the
+            # actual source path (strict), then chunk to the batch size.
+            by_img: Dict = {}
+            for it in my:
+                by_img.setdefault(it["ori_img_path"], []).append(it)
+            raw_groups = [
+                g[b0 : b0 + batch_size]
+                for g in by_img.values()
+                for b0 in range(0, len(g), batch_size)
+            ]
+        else:
+            raw_groups = [my[b0: b0 + batch_size]
+                          for b0 in range(0, len(my), batch_size)]
         # pad tail groups to the compiled batch size
         groups = [g + [g[-1]] * (batch_size - len(g)) for g in raw_groups]
+        gen = (batched.background_generation_shared_source
+               if shared_source else batched.background_generation)
         for raw, group, loaded in zip(
             raw_groups, groups,
             _prefetch(groups, lambda g: [load(it) for it in g]),
         ):
-            outs = batched.background_generation(
+            outs = gen(
                 [dict(ori_img=o, ori_mask=d, guidance_text="empty scene")
                  for o, d in loaded],
                 guidance_scale=guidance_scale, eta=eta, end_step=end_step,
@@ -331,7 +349,9 @@ def run_geobench_inference(
             pipe, annotations_json, dst_base, bench=bench,
             num_step=num_step, start_step=start_step or 1,
             guidance_scale=guidance_scale, eta=eta, seed=seed,
-            batch_size=batch_size, max_cases=max_cases, progress=progress,
+            batch_size=batch_size,
+            shared_source=shared_source and batch_size > 1,
+            max_cases=max_cases, progress=progress,
         )
     if shared_source and batch_size <= 1:
         raise ValueError(

@@ -338,6 +338,89 @@ def sample_edit_loop_shared(
     return lat
 
 
+def sample_bggen_loop_shared(
+    unet_edit,
+    unet_capture,
+    params,
+    schedule: DDIMSchedule,
+    ecfg: EditConfig,
+    ref_traj: jnp.ndarray,        # [K+1, h, w, c] source inversion traj
+    text_pair,                    # [B, 2, ...] per-case [uncond, cond] pytree
+    text_ref,                     # [1, ...] uncond ctx pytree (capture pass)
+    states: EditState,            # [B]-stacked mask pyramids
+    cg: jnp.ndarray,
+    gates: jnp.ndarray,
+    local_cfg: jnp.ndarray,       # [B, lh, lw]
+    local_var: jnp.ndarray,       # [B, lh, lw]
+    rngs: jnp.ndarray,
+    *,
+    start_step: int,
+    guidance_scale: float,
+    eta: float,
+    local_text_edit: bool,
+    local_perturbation: bool,
+) -> jnp.ndarray:
+    """Shared-source background generation over B removal cases of ONE
+    source image.
+
+    In the per-case loop (`sample_bggen_loop` / forward_sampling_background
+    _gen, model.py:656-812) the reference stream at step i is the SOURCE
+    inversion latent at the matching noise level (refer_latents[i - start],
+    model.py:756) — for cases removing different objects from the same
+    image it is the same computation B times, and even the generated
+    stream's INIT (traj[-1]) is shared.  Here the reference runs once per
+    step as a K/V capture pass; each case runs a 2-stream [u_g, c_g] pass
+    consuming them (EditConfig.shared_ref; _tca_bggen's shared branch).
+    Like the edit shared lane this implies ref_vanilla reference-stream
+    semantics; per-case DDPM noise stays bit-compatible with the per-case
+    lane via the 2-row [gen, ref] ctrl_step stack."""
+    k_steps = ref_traj.shape[0] - 1
+    ts = schedule.timesteps[start_step : start_step + k_steps]
+    refs = jnp.flip(ref_traj[1:], axis=0)             # [K, h, w, c]
+    b = jax.tree_util.tree_leaves(text_pair)[0].shape[0]
+    init = jnp.broadcast_to(
+        ref_traj[-1][None], (b,) + ref_traj.shape[1:]
+    )
+    cfg_masks = local_cfg[:, :, :, None]
+    var_masks = (
+        local_var if local_perturbation else jnp.ones_like(local_var)
+    )
+
+    def body(carry, xs):
+        lat, keys = carry
+        t, cgt, gt, ref = xs
+        kvs = unet_capture(params, ref[None], t, text_ref)
+
+        def case(lat1, txt2, st, cfgm):
+            st = dataclasses.replace(
+                st, context_guidance=cgt, share_gate=gt, ref_kv=kvs
+            )
+            eps = unet_edit(
+                params, jnp.stack([lat1, lat1]), t, txt2, ecfg, st
+            ).astype(jnp.float32)
+            nu, nc = eps[0], eps[1]
+            if local_text_edit:
+                return nu + guidance_scale * (nc - nu) * cfgm
+            return nu + guidance_scale * (nc - nu)
+
+        noise = jax.vmap(case)(lat, text_pair, states, cfg_masks)
+
+        def step(noise1, lat1, vm, key):
+            key, sub = jax.random.split(key)
+            x2 = jnp.stack([lat1, ref])
+            n2 = jnp.stack([noise1, jnp.zeros_like(noise1)])
+            new, _ = ctrl_step(
+                schedule, n2, t, x2, vm, eta, sub, ddim_streams_from=1
+            )
+            return new[0], key
+
+        lat, keys = jax.vmap(step)(noise, lat, var_masks, keys)
+        return (lat, keys), None
+
+    (lat, _), _ = _scan(body, (init, rngs), (ts, cg, gates, refs))
+    return lat
+
+
 def sample_bggen_loop(
     unet_apply,
     params,
@@ -1236,6 +1319,46 @@ def edit_shared_fn(
     return fn
 
 
+def bggen_shared_fn(
+    unet_plain,
+    unet_edit,
+    unet_capture,
+    schedule: DDIMSchedule,
+    ecfg: EditConfig,
+    *,
+    num_actual: int,
+    start_step: int,
+    guidance_scale: float,
+    eta: float,
+    local_text_edit: bool,
+    local_perturbation: bool,
+):
+    """Full shared-source background generation for B removal cases of ONE
+    source image: invert the source ONCE (it is both the init and the
+    reference of every case), then `sample_bggen_loop_shared`.
+
+    Per-edit UNet cost vs the per-case batched lane (`bggen_case_fn`):
+    inversion 1/B streams instead of 1, regeneration 2 + 1/B instead of 3."""
+
+    def fn(params, lat_ref, text_u, text_pair, states, cg, gates,
+           cfg_masks, var_masks, rngs):
+        tmap = jax.tree_util.tree_map
+        text_u1 = tmap(lambda a: a[None], text_u)
+        traj_r = ddim_invert_loop(
+            unet_plain, params, schedule, lat_ref[None], text_u1, num_actual
+        )
+        return sample_bggen_loop_shared(
+            unet_edit, unet_capture, params, schedule, ecfg,
+            traj_r[:, 0], text_pair, text_u1, states,
+            cg, gates, cfg_masks, var_masks, rngs,
+            start_step=start_step, guidance_scale=guidance_scale, eta=eta,
+            local_text_edit=local_text_edit,
+            local_perturbation=local_perturbation,
+        )
+
+    return fn
+
+
 def _stack_states(states):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
 
@@ -1665,6 +1788,120 @@ class BatchedFreeFine:
             out = jax.block_until_ready(out)
         with tm.stage("decode"):
             imgs = pipe.latent_to_image(out[:, 0])
+        return [imgs[i] for i in range(n)]
+
+    def background_generation_shared_source(
+        self,
+        cases,  # dicts with ori_img / ori_mask / guidance_text — ALL
+                # sharing the same ori_img (one GeoBench source image)
+        guidance_scale: float = 3.5,
+        eta: float = 1.0,
+        end_step: int = 10,
+        num_step: int = 50,
+        start_step: int = 1,
+        method_type: str = "tca",
+        local_text_edit: bool = True,
+        local_perturbation: bool = True,
+        end_scale: float = 0.5,
+        seed: int = 42,
+        timer=None,
+    ):
+        """`background_generation` for removal cases on the SAME source
+        image: the source is VAE-encoded and DDIM-inverted ONCE (it is
+        both every case's init latent and every case's per-step reference,
+        forward_sampling_background_gen model.py:756-760), and the
+        reference stream runs once per step as a shared K/V capture.
+        Per-case UNet cost drops from 1+3 to (2 + 2/B) stream-passes —
+        the removal stage runs num_step-1 denoise steps (start_step=1),
+        so this is the heaviest per-case saving of the shared lanes.
+        ref_vanilla semantics like `generation_shared_source`."""
+        pipe = self.pipe
+        cfg = pipe.config
+        lh, lw = cfg.latent_height, cfg.latent_width
+        n = len(cases)
+        tm = timer if timer is not None else _NullTimer()
+        assert method_type in ("tca", "mmsa", "mmsa_es"), method_type
+        ori0 = np.asarray(cases[0]["ori_img"])
+        for c in cases[1:]:
+            assert np.array_equal(np.asarray(c["ori_img"]), ori0), (
+                "background_generation_shared_source requires every case "
+                "to share one ori_img; use background_generation for "
+                "mixed-source batches"
+            )
+
+        with tm.stage("prep_images"):
+            ori = pipe._prep_image(ori0)
+        with tm.stage("vae_encode"):
+            lat_ref = self._encode_images(ori[None])[0]
+        with tm.stage("text_encode"):
+            uncond, conds = self._uncond_and_conds(
+                [c["guidance_text"] for c in cases]
+            )
+            tmap = jax.tree_util.tree_map
+            u = tmap(
+                lambda a: jnp.broadcast_to(a[None], (n,) + a.shape), uncond
+            )
+            text_pair = tmap(
+                lambda ua, ca: jnp.stack([ua, ca], axis=1), u, conds
+            )
+        with tm.stage("mask_prep"):
+            masks = _stack_masks_np(
+                [c["ori_mask"] for c in cases], cfg.height, cfg.width)
+
+            pkey = ("bggen_batch_prep", n)
+            if pkey not in pipe._jit_cache:
+                def prep(m):
+                    mask_full, lv = mask_ops.prepare_mask_bggen(
+                        m, cfg.height, cfg.width, lh, lw
+                    )
+                    pyr = build_mask_pyramid(mask_full, lh, lw)
+                    return (
+                        EditState(fg_retain=pyr, fg_ref=pyr, local_region=pyr),
+                        lv,
+                    )
+
+                pipe._jit_cache[pkey] = jax.jit(jax.vmap(prep))
+            states, lvars = pipe._jit_cache[pkey](masks)
+
+        method, cg, gates = _method_and_gates(
+            method_type, start_step, end_step, num_step, end_scale
+        )
+        ecfg = self.pipe._edit_config(
+            mode="bggen", method=method, local_cfg=local_text_edit,
+            shared_ref=True, ref_vanilla=True,
+        )
+        cap_cfg = dataclasses.replace(
+            none_config(), store_kv=True,
+            tca_scope=ecfg.tca_scope, layer_range=ecfg.layer_range,
+        )
+        key = (
+            "bggen_shared", n, num_step, start_step, ecfg, guidance_scale,
+            eta, local_text_edit, local_perturbation,
+        )
+        if key not in pipe._jit_cache:
+            schedule = pipe._schedule(num_step)
+            fn = bggen_shared_fn(
+                pipe._unet_apply_plain, pipe._make_unet_apply(ecfg),
+                pipe._make_unet_capture(cap_cfg), schedule, ecfg,
+                num_actual=num_step - start_step, start_step=start_step,
+                guidance_scale=guidance_scale, eta=eta,
+                local_text_edit=local_text_edit,
+                local_perturbation=local_perturbation,
+            )
+            pipe._jit_cache[key] = jax.jit(fn)
+        rngs = _case_rngs(seed, n)
+        with tm.stage("edit"):
+            text_pair, states, lvars, rngs = self._put_cases(
+                text_pair, states, lvars, rngs
+            )
+            out = pipe._jit_cache[key](
+                pipe.params, lat_ref, uncond, text_pair,
+                states, jnp.asarray(cg), jnp.asarray(gates),
+                lvars, lvars, rngs,
+            )
+            out = jax.block_until_ready(out)
+        with tm.stage("decode"):
+            imgs = pipe.latent_to_image(out)
         return [imgs[i] for i in range(n)]
 
     def cross_image_composition(

@@ -342,3 +342,23 @@ def test_harness_end_to_end_shared_source(tmp_path):
         for v in ins.values()
     ]
     assert len(paths) == 3 and all(osp.exists(p) for p in paths)
+
+
+@pytest.mark.slow
+def test_harness_bggen_shared_source(tmp_path):
+    """shared_source groups instances by source image and routes through
+    background_generation_shared_source (one inversion + one reference
+    pass per step per group)."""
+    from freefine_tpu.config import tiny_pipeline_config
+    from freefine_tpu.parallel.harness import run_geobench_bggen
+    from freefine_tpu.pipeline import FreeFine
+
+    ann, _ = _mini_annotations(tmp_path, n_da=1, n_ins=3, n_edit=1)
+    pipe = FreeFine(config=tiny_pipeline_config(), init_random=True)
+    merged = run_geobench_bggen(
+        pipe, ann, str(tmp_path), num_step=4, start_step=1, end_step=2,
+        batch_size=2, shared_source=True, progress=lambda s: None,
+    )
+    assert merged is not None and len(merged["da0"]["instances"]) == 3
+    for v in merged["da0"]["instances"].values():
+        assert osp.exists(v["inp_img_path"])

@@ -187,3 +187,39 @@ def test_sdxl_generation_shared_source():
         assert diff.mean() < 2.0 and diff.max() <= 30, (
             b, diff.mean(), diff.max()
         )
+
+
+def test_background_generation_shared_source_matches():
+    """Shared-source removal lane: one inversion + one reference pass per
+    step for a whole same-source batch; close to the per-case batched lane
+    (ref_vanilla deviation on modulated heads only), mixed sources
+    rejected."""
+    from freefine_tpu.pipeline import BatchedFreeFine, FreeFine
+
+    pipe = FreeFine(config=tiny_pipeline_config(), init_random=True)
+    batched = BatchedFreeFine(pipe)
+    h = w = pipe.config.height
+    r = np.random.default_rng(0)
+    ori = r.integers(0, 255, (h, w, 3), dtype=np.uint8)
+
+    def mk_case(y0):
+        m = np.zeros((h, w), np.uint8); m[y0:y0 + 16, 8:24] = 255
+        return dict(ori_img=ori, ori_mask=m, guidance_text="empty scene")
+
+    cases = [mk_case(4), mk_case(20)]
+    kw = dict(num_step=5, start_step=1, end_step=1, seed=9)
+    want = batched.background_generation(cases, **kw)
+    got = batched.background_generation_shared_source(cases, **kw)
+    assert len(got) == 2
+    for b in range(2):
+        assert got[b].shape == (h, w, 3) and got[b].dtype == np.uint8
+        diff = np.abs(got[b].astype(np.int32) - want[b].astype(np.int32))
+        assert diff.mean() < 2.0 and diff.max() <= 40, (
+            b, diff.mean(), diff.max()
+        )
+    # different masks must still give different backgrounds
+    assert not np.array_equal(got[0], got[1])
+
+    bad = [mk_case(4), dict(mk_case(20), ori_img=255 - ori)]
+    with pytest.raises(AssertionError):
+        batched.background_generation_shared_source(bad, **kw)
