@@ -50,7 +50,9 @@ def main():
                          "and run the reference stream once per group "
                          "(generation_shared_source; intent reference-"
                          "stream semantics, see EditConfig.ref_vanilla). "
-                         "Requires --batch-size > 1 to pay off.")
+                         "With --task bggen, groups instances by source "
+                         "image instead (+67%% measured, BATCH_SCALING.md)."
+                         " Requires --batch-size > 1 to pay off.")
     ap.add_argument("--mesh", default=None,
                     help="serve on a (data x model) device mesh, e.g. "
                          "'data=4,model=2' (FreeFine.use_mesh): TP-sharded "
