@@ -142,8 +142,8 @@ def main():
     args = ap.parse_args()
 
     # Lane defaults: the flagship SD-1.5 @512^2 lane benches the
-    # measured-best protocol-exact serving shape (shared-source batch 8,
-    # 73.0 edits/min chip-measured — BATCH_SCALING.md); every opt-in lane
+    # measured-best protocol-exact serving shape (shared-source batch 16,
+    # 76.9 edits/min chip-measured — BATCH_SCALING.md); every opt-in lane
     # (--tiny/--sdxl/--dit/--mesh/--profile) keeps batch-1 per-case
     # semantics unless asked otherwise.
     flagship = not (args.tiny or args.sdxl or args.dit or args.mesh
@@ -151,11 +151,17 @@ def main():
     batch_defaulted = args.batch is None
     if batch_defaulted:
         args.batch = 16 if (flagship and args.shared is not False) else 1
+        if args.shared and args.batch == 1:
+            args.batch = 8  # an explicit --shared on an opt-in lane
     if args.shared is None:
         # An explicit --batch N means the documented per-case lane; only
         # the all-default flagship invocation (and explicit --shared)
         # runs shared-source.
         args.shared = flagship and batch_defaulted and args.batch > 1
+    assert not (args.shared and args.batch == 1), (
+        "--shared needs --batch > 1 (the shared-reference lane amortises "
+        "one reference pass across a batch)"
+    )
 
     import jax
 

@@ -148,6 +148,21 @@ def _instance_seed(seed: int, da_n: str, ins_id: str) -> int:
     return zlib.crc32(f"{seed}/{da_n}/{ins_id}".encode()) & 0x7FFFFFFF
 
 
+def _bucket_size(n: int, batch_size: int) -> int:
+    """Smallest power of two >= n, capped at batch_size.
+
+    Shared-source groups follow per-source instance counts (GeoBench:
+    ~1-10 per image), so padding every group to the full compiled batch
+    wastes most lanes on small sources (a 2-instance group at batch 8
+    would run 6 duplicate lanes).  Pow-2 bucketing bounds padding waste
+    below 2x at the cost of at most log2(batch_size)+1 compiled shapes —
+    the BatchedFreeFine jit keys already include the batch length."""
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, batch_size)
+
+
 def run_geobench_bggen(
     pipe,
     annotations_json: str,
@@ -245,8 +260,12 @@ def run_geobench_bggen(
         else:
             raw_groups = [my[b0: b0 + batch_size]
                           for b0 in range(0, len(my), batch_size)]
-        # pad tail groups to the compiled batch size
-        groups = [g + [g[-1]] * (batch_size - len(g)) for g in raw_groups]
+        # pad each group to its pow-2 bucket (shared groups are per-source
+        # and often small; see _bucket_size)
+        groups = [
+            g + [g[-1]] * (_bucket_size(len(g), batch_size) - len(g))
+            for g in raw_groups
+        ]
         gen = (batched.background_generation_shared_source
                if shared_source else batched.background_generation)
         for raw, group, loaded in zip(
@@ -344,19 +363,18 @@ def run_geobench_inference(
             annotations_json, dst_base, max_cases=max_cases,
             progress=progress,
         )
+    if shared_source and batch_size <= 1:
+        raise ValueError(
+            "shared_source groups same-source cases into a batched device "
+            "step; pass batch_size > 1"
+        )
     if task == "bggen":
         return run_geobench_bggen(
             pipe, annotations_json, dst_base, bench=bench,
             num_step=num_step, start_step=start_step or 1,
             guidance_scale=guidance_scale, eta=eta, seed=seed,
-            batch_size=batch_size,
-            shared_source=shared_source and batch_size > 1,
+            batch_size=batch_size, shared_source=shared_source,
             max_cases=max_cases, progress=progress,
-        )
-    if shared_source and batch_size <= 1:
-        raise ValueError(
-            "shared_source groups edits of one source instance into a "
-            "batched device step; pass batch_size > 1"
         )
     if start_step is None:
         # protocol defaults at 50 steps (35 for 2D, 15 for 3D), scaled
@@ -467,7 +485,11 @@ def run_geobench_inference(
             groups, _prefetch(groups, lambda g: [load_case(c) for c in g])
         ):
             group_t0 = time.time()
-            padded = loaded + [loaded[-1]] * (batch_size - len(loaded))
+            pad_to = (
+                _bucket_size(len(loaded), batch_size)
+                if shared_source else batch_size
+            )
+            padded = loaded + [loaded[-1]] * (pad_to - len(loaded))
             gen_kwargs = dict(
                 guidance_scale=guidance_scale, eta=eta,
                 num_step=num_step, start_step=start_step,

@@ -296,8 +296,46 @@ def sample_edit_loop_shared(
     the same per-stream rows as the deduped 3-stream layout.
     """
     k_steps = ref_traj.shape[0] - 1
-    ts = schedule.timesteps[start_step : start_step + k_steps]
     refs = jnp.flip(ref_traj[:k_steps], axis=0)       # [K, h, w, c]
+    return _shared_ref_scan(
+        unet_edit, unet_capture, params, schedule, ecfg, refs, init_lat,
+        text_pair, text_ref, states, cg, gates, completion_cfg, local_var,
+        rngs, start_step=start_step, guidance_scale=guidance_scale,
+        eta=eta, local_text_edit=local_text_edit,
+        local_perturbation=local_perturbation,
+    )
+
+
+def _shared_ref_scan(
+    unet_edit,
+    unet_capture,
+    params,
+    schedule: DDIMSchedule,
+    ecfg: EditConfig,
+    refs: jnp.ndarray,            # [K, h, w, c] per-step pinned ref latents
+    init_lat: jnp.ndarray,        # [B, h, w, c]
+    text_pair,                    # [B, 2, ...] pytree
+    text_ref,                     # [1, ...] pytree (capture pass)
+    states: EditState,
+    cg: jnp.ndarray,
+    gates: jnp.ndarray,
+    completion_cfg: jnp.ndarray,
+    local_var: jnp.ndarray,
+    rngs: jnp.ndarray,
+    *,
+    start_step: int,
+    guidance_scale: float,
+    eta: float,
+    local_text_edit: bool,
+    local_perturbation: bool,
+) -> jnp.ndarray:
+    """The shared-reference denoise scan common to the edit and bggen
+    shared lanes: per step, ONE reference K/V capture pass + per-case
+    2-stream [u, c] CFG passes consuming it, stepped by ctrl_step on a
+    2-row [case, ref] stack (bit-compatible per-case DDPM noise).  The
+    lanes differ only in `refs` indexing and the `init_lat` source."""
+    k_steps = refs.shape[0]
+    ts = schedule.timesteps[start_step : start_step + k_steps]
     cfg_masks = completion_cfg[:, :, :, None]         # [B, lh, lw, 1]
     var_masks = (
         local_var if local_perturbation else jnp.ones_like(local_var)
@@ -374,51 +412,18 @@ def sample_bggen_loop_shared(
     Like the edit shared lane this implies ref_vanilla reference-stream
     semantics; per-case DDPM noise stays bit-compatible with the per-case
     lane via the 2-row [gen, ref] ctrl_step stack."""
-    k_steps = ref_traj.shape[0] - 1
-    ts = schedule.timesteps[start_step : start_step + k_steps]
     refs = jnp.flip(ref_traj[1:], axis=0)             # [K, h, w, c]
     b = jax.tree_util.tree_leaves(text_pair)[0].shape[0]
     init = jnp.broadcast_to(
         ref_traj[-1][None], (b,) + ref_traj.shape[1:]
     )
-    cfg_masks = local_cfg[:, :, :, None]
-    var_masks = (
-        local_var if local_perturbation else jnp.ones_like(local_var)
+    return _shared_ref_scan(
+        unet_edit, unet_capture, params, schedule, ecfg, refs, init,
+        text_pair, text_ref, states, cg, gates, local_cfg, local_var,
+        rngs, start_step=start_step, guidance_scale=guidance_scale,
+        eta=eta, local_text_edit=local_text_edit,
+        local_perturbation=local_perturbation,
     )
-
-    def body(carry, xs):
-        lat, keys = carry
-        t, cgt, gt, ref = xs
-        kvs = unet_capture(params, ref[None], t, text_ref)
-
-        def case(lat1, txt2, st, cfgm):
-            st = dataclasses.replace(
-                st, context_guidance=cgt, share_gate=gt, ref_kv=kvs
-            )
-            eps = unet_edit(
-                params, jnp.stack([lat1, lat1]), t, txt2, ecfg, st
-            ).astype(jnp.float32)
-            nu, nc = eps[0], eps[1]
-            if local_text_edit:
-                return nu + guidance_scale * (nc - nu) * cfgm
-            return nu + guidance_scale * (nc - nu)
-
-        noise = jax.vmap(case)(lat, text_pair, states, cfg_masks)
-
-        def step(noise1, lat1, vm, key):
-            key, sub = jax.random.split(key)
-            x2 = jnp.stack([lat1, ref])
-            n2 = jnp.stack([noise1, jnp.zeros_like(noise1)])
-            new, _ = ctrl_step(
-                schedule, n2, t, x2, vm, eta, sub, ddim_streams_from=1
-            )
-            return new[0], key
-
-        lat, keys = jax.vmap(step)(noise, lat, var_masks, keys)
-        return (lat, keys), None
-
-    (lat, _), _ = _scan(body, (init, rngs), (ts, cg, gates, refs))
-    return lat
 
 
 def sample_bggen_loop(
@@ -1730,9 +1735,15 @@ class BatchedFreeFine:
             uncond, conds = self._uncond_and_conds(
                 [c["guidance_text"] for c in cases]
             )
-            u = jnp.broadcast_to(uncond[None], (n,) + uncond.shape)
-            text1 = u[:, None]                               # [n, 1, 77, D]
-            text3 = jnp.stack([u, u, conds], axis=1)
+            tmap = jax.tree_util.tree_map
+            u = tmap(
+                lambda a: jnp.broadcast_to(a[None], (n,) + a.shape), uncond
+            )
+            # leaf-wise (SDXL (context, added_cond) tuples batch too)
+            text1 = tmap(lambda a: a[:, None], u)            # [n, 1, ...]
+            text3 = tmap(
+                lambda ua, ca: jnp.stack([ua, ua, ca], axis=1), u, conds
+            )
         with tm.stage("mask_prep"):
             masks = _stack_masks_np(
                 [c["ori_mask"] for c in cases], cfg.height, cfg.width)
@@ -1948,18 +1959,31 @@ class BatchedFreeFine:
         with tm.stage("text_encode"):
             flat_prompts = [p for c in cases for p in c["guidance_text_list"]]
             uncond, conds = self._uncond_and_conds(flat_prompts)
-            conds = conds.reshape((n, np_prompts) + conds.shape[1:])
-            u = jnp.broadcast_to(uncond[None], (n,) + uncond.shape)
-            # Per-stream context: [uncond, prompt_1..prompt_ns (pad ""), uncond]
-            stream_parts = [u[:, None]]
-            for i in range(ns):
-                stream_parts.append(
-                    conds[:, i][:, None] if i < np_prompts else u[:, None]
-                )
-            stream_parts.append(u[:, None])
-            text_emb = jnp.concatenate(stream_parts, axis=1)  # [n, ns+2, 77, D]
-            text_extra = jnp.concatenate(
-                [conds, u[:, None]], axis=1)                  # [n, P+1, 77, D]
+            tmap = jax.tree_util.tree_map
+            conds = tmap(
+                lambda a: a.reshape((n, np_prompts) + a.shape[1:]), conds
+            )
+            u = tmap(
+                lambda a: jnp.broadcast_to(a[None], (n,) + a.shape), uncond
+            )
+
+            # Per-stream context: [uncond, prompt_1..prompt_ns (pad ""),
+            # uncond] — leaf-wise, so SDXL's (context, added_cond) tuples
+            # batch like plain arrays.
+            def per_stream(ul, cl):
+                parts = [ul[:, None]]
+                for i in range(ns):
+                    parts.append(
+                        cl[:, i][:, None] if i < np_prompts else ul[:, None]
+                    )
+                parts.append(ul[:, None])
+                return jnp.concatenate(parts, axis=1)  # [n, ns+2, ...]
+
+            text_emb = tmap(per_stream, u, conds)
+            text_extra = tmap(
+                lambda cl, ul: jnp.concatenate([cl, ul[:, None]], axis=1),
+                conds, u,
+            )                                          # [n, P+1, ...]
         with tm.stage("mask_prep"):
             src_stack = np.stack([
                 _stack_masks_np(c["ori_mask_lists"], cfg.height, cfg.width)
@@ -2017,8 +2041,11 @@ class BatchedFreeFine:
                          in_axes=(None, 0, 0, 0, 0, 0, None, None, 0, 0, 0))
             )
         rngs = _case_rngs(seed, n)
-        text_inv = jnp.broadcast_to(
-            uncond[None, None], (n, ns + 1) + uncond.shape
+        text_inv = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(
+                a[None, None], (n, ns + 1) + a.shape
+            ),
+            uncond,
         )
         with tm.stage("edit"):
             lats, text_inv, text_emb, states, cfg_masks, var_masks, rngs = (

@@ -118,3 +118,52 @@ def test_sdxl_batched_generation_matches_per_case(sdxl_pipe):
         # across the uint8 boundary (measured 12/12288 off by 1)
         diff = np.abs(outs[i].astype(np.int32) - want.astype(np.int32))
         assert diff.max() <= 1 and (diff > 0).mean() < 0.01
+
+
+@pytest.mark.slow
+def test_sdxl_batched_bggen_and_compose(sdxl_pipe):
+    """The batched bggen and compose lanes must also accept SDXL's tuple
+    conditioning (regression: they crashed on `uncond[None]` after
+    _uncond_and_conds went tree-typed)."""
+    from freefine_tpu.pipeline import BatchedFreeFine
+
+    batched = BatchedFreeFine(sdxl_pipe)
+    h = w = sdxl_pipe.config.height
+    r = np.random.default_rng(3)
+
+    bg_cases = []
+    for i in range(2):
+        m = np.zeros((h, w), np.uint8); m[8 + 4*i:24 + 4*i, 8:24] = 255
+        bg_cases.append(dict(
+            ori_img=r.integers(0, 255, (h, w, 3), dtype=np.uint8),
+            ori_mask=m, guidance_text="empty scene",
+        ))
+    outs = batched.background_generation(
+        bg_cases, num_step=4, start_step=1, end_step=1, seed=[3, 4]
+    )
+    assert len(outs) == 2 and all(
+        o.shape == (h, w, 3) and np.isfinite(o.astype(np.float64)).all()
+        for o in outs
+    )
+
+    def blob(y0):
+        m = np.zeros((h, w), np.uint8); m[y0:y0 + 16, 8:24] = 255
+        return m
+
+    co_cases = []
+    for i in range(2):
+        co_cases.append(dict(
+            img_lists=[r.integers(0, 255, (h, w, 3), dtype=np.uint8)
+                       for _ in range(2)],
+            ori_mask_lists=[blob(4), blob(20)],
+            tgt_mask_lists=[blob(8), blob(24)],
+            coarse_input=r.integers(0, 255, (h, w, 3), dtype=np.uint8),
+            guidance_text_list=["bird"],
+        ))
+    outs = batched.cross_image_composition(
+        co_cases, num_step=4, start_step=2, end_step=1, seed=[5, 6]
+    )
+    assert len(outs) == 2 and all(
+        o.shape == (h, w, 3) and np.isfinite(o.astype(np.float64)).all()
+        for o in outs
+    )
